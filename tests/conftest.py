@@ -1,0 +1,28 @@
+"""Test harness: CPU backend.
+
+Numerical tests run on a single CPU device (virtual multi-device meshes make
+*eager* dispatch ~13x slower, and unit tests interleave lots of host/numpy
+work). Multi-chip sharding tests (tests/test_parallel.py) spawn a
+subprocess with ``XLA_FLAGS=--xla_force_host_platform_device_count=8`` — the
+same virtual-mesh recipe SURVEY.md §4 prescribes — so they get a true
+8-device mesh without taxing every other test. Env must be set before jax
+import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Persistent compilation cache: compile each test kernel once, ever.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

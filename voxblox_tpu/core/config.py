@@ -1,0 +1,125 @@
+"""Configuration dataclasses.
+
+Knob names and defaults mirror the reference's config structs so users can
+port configs 1:1:
+- TsdfIntegratorConfig  <- TsdfIntegratorBase::Config (tsdf_integrator.h:56-89)
+- EsdfIntegratorConfig  <- EsdfIntegrator::Config (esdf_integrator.h:29-78)
+- OccupancyIntegratorConfig <- OccupancyIntegrator::Config
+  (occupancy_integrator.h:24-37)
+- MeshIntegratorConfig  <- mesh_integrator.h
+- MapConfig             <- TsdfMap::Config (core/tsdf_map.h:25-31)
+
+ROS-layer derived defaults (ros_params.h:66-67, :136-137) are provided via
+``derive_defaults``. All configs are hashable frozen dataclasses -> usable
+as jit static args.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    voxel_size: float = 0.2
+    voxels_per_side: int = 16
+    # Pool sizing (TPU-specific: shape-stable device allocation).
+    max_blocks: int = 4096
+    table_capacity: Optional[int] = None
+
+    @property
+    def block_size(self) -> float:
+        return self.voxel_size * self.voxels_per_side
+
+
+@dataclasses.dataclass(frozen=True)
+class TsdfIntegratorConfig:
+    default_truncation_distance: float = 0.1
+    max_weight: float = 10000.0
+    voxel_carving_enabled: bool = True
+    min_ray_length_m: float = 0.1
+    max_ray_length_m: float = 5.0
+    use_const_weight: bool = False
+    allow_clear: bool = True
+    use_weight_dropoff: bool = True
+    use_sparsity_compensation_factor: bool = False
+    sparsity_compensation_factor: float = 1.0
+    # merged-integrator option (tsdf_integrator.h:80-82)
+    enable_anti_grazing: bool = False
+    # fast-integrator options (tsdf_integrator.h:83-89)
+    start_voxel_subsampling_factor: float = 2.0
+    max_consecutive_ray_collisions: int = 2
+    clear_checks_every_n_frames: int = 1
+    # TPU-specific: static DDA step budget override (None = derived).
+    max_steps: Optional[int] = None
+    # Max point batch per integrate call (rays are padded to this).
+    max_points: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class EsdfIntegratorConfig:
+    full_euclidean_distance: bool = False
+    max_distance_m: float = 2.0
+    min_distance_m: float = 0.2
+    default_distance_m: float = 2.0
+    min_diff_m: float = 0.001
+    min_weight: float = 1e-6
+    num_buckets: int = 20  # kept for config parity; sweeps don't use it
+    multi_queue: bool = False
+    add_occupied_crust: bool = False
+    clear_sphere_radius: float = 1.5
+    occupied_sphere_radius: float = 5.0
+    # TPU-specific sweep scheduling: inner relaxations per halo rebuild.
+    inner_sweeps: int = 4
+    # Hard cap on outer sweep iterations per update (convergence guard).
+    max_outer_sweeps: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class OccupancyIntegratorConfig:
+    probability_hit: float = 0.65
+    probability_miss: float = 0.4
+    threshold_min: float = 0.12
+    threshold_max: float = 0.97
+    threshold_occupancy: float = 0.7
+    min_ray_length_m: float = 0.1
+    max_ray_length_m: float = 5.0
+    max_steps: Optional[int] = None
+    max_points: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshIntegratorConfig:
+    use_color: bool = True
+    min_weight: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpConfig:
+    # alignment/icp.h:74-110
+    refine_roll_pitch: bool = False
+    mini_batch_size: int = 20
+    min_match_ratio: float = 0.8
+    subsample_keep_ratio: float = 0.5
+    inital_translation_weighting: float = 100.0
+    inital_rotation_weighting: float = 100.0
+    iterations: int = 20
+
+
+def derive_defaults(
+    voxel_size: float,
+    tsdf: TsdfIntegratorConfig | None = None,
+    esdf: EsdfIntegratorConfig | None = None,
+):
+    """ROS-layer derived defaults: truncation = 4 * voxel_size
+    (ros_params.h:66-67), esdf min_distance = truncation / 2 but at least
+    the struct default (ros_params.h:136-137)."""
+    tsdf = tsdf or TsdfIntegratorConfig()
+    truncation = 4.0 * voxel_size
+    tsdf = dataclasses.replace(tsdf, default_truncation_distance=truncation)
+    esdf = esdf or EsdfIntegratorConfig()
+    esdf = dataclasses.replace(
+        esdf, min_distance_m=max(truncation / 2.0, esdf.min_distance_m)
+    )
+    return tsdf, esdf

@@ -1,0 +1,466 @@
+"""TSDF integrators: fused ray-cast -> scatter update over the block pool.
+
+TPU-native reformulation of the reference integrator family
+(voxblox src/integrator/tsdf_integrator.cc):
+
+- ``simple``: every valid point casts a full ray (cc:242-305).
+- ``merged``: rays bundled by endpoint voxel via sort + segment reduction,
+  one cast per unique endpoint with the weighted-mean point/color
+  (cc:307-486). Anti-grazing supported (cc:415-422).
+- ``fast``: start-voxel subsampling + observed-voxel early exit using
+  epoch-stamped hash arrays instead of lock-free approx sets
+  (cc:488-590, utils/approx_hash_array.h).
+
+The per-voxel math matches ``updateTsdfVoxel`` (cc:150-228): projective
+distance, weight dropoff ramp, sparsity compensation, weighted running
+average with truncation clamp and weight cap, color blended only within the
+truncation band. Where the reference serializes voxel read-modify-writes
+behind striped mutexes (tsdf_integrator.h:180-197), we accumulate
+(sum w, sum w*sdf, sum w*rgb) with scatter-adds and renormalize once per
+scan — associative, lock-free, and order-independent. Per-sample SDF
+contributions are pre-clamped to the truncation band, so voxels whose
+samples all exceed truncation match the reference exactly; mixed
+clamped/unclamped sequences can differ at the 1e-3 level (documented
+tolerance; the accuracy contract is the test_sdf_integrators.cc bounds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import grid
+from ..core import layer as vlayer
+from ..core.config import TsdfIntegratorConfig
+from . import raycast
+
+
+class FastIntegratorState(NamedTuple):
+    """Epoch-stamped dedup arrays for the fast integrator.
+
+    Replaces the reference's two 8 MB ``ApproxHashSet``s
+    (tsdf_integrator.h:302-341) with device uint32 stamp arrays: a cell is
+    "in the set for frame f" iff stamp[hash] == f. Clearing is O(1) by
+    bumping the frame counter (same trick as the reference's offset-based
+    reset, approx_hash_array.h:118-124).
+    """
+
+    observed_stamp: jax.Array  # uint32[2^bits]
+    frame: jax.Array  # uint32[] current frame number (starts at 1)
+
+
+def make_fast_state(bits: int = 21) -> FastIntegratorState:
+    return FastIntegratorState(
+        observed_stamp=jnp.zeros((1 << bits,), jnp.uint32),
+        frame=jnp.ones((), jnp.uint32),
+    )
+
+
+def _hash_gvi(gvi, bits: int):
+    """Hash global voxel indices [...,3] -> uint32 in [0, 2^bits)."""
+    h = (
+        gvi[..., 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        ^ gvi[..., 1].astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+        ^ gvi[..., 2].astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
+    )
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x2C1B3C6D)
+    h = h ^ (h >> 12)
+    return h & jnp.uint32((1 << bits) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Point validity + weights (tsdf_integrator.h:112-129, cc:231-240)
+# ---------------------------------------------------------------------------
+
+
+def point_validity(points_C, cfg: TsdfIntegratorConfig, freespace_points=False):
+    """Returns (valid, is_clearing) per point.
+
+    Reference isPointValid: ray < min -> invalid; ray > max -> clearing if
+    allow_clear (or freespace_points) else invalid.
+    """
+    norm = jnp.linalg.norm(points_C, axis=-1)
+    finite = jnp.all(jnp.isfinite(points_C), axis=-1)
+    too_close = norm < cfg.min_ray_length_m
+    too_far = norm > cfg.max_ray_length_m
+    allow_clear = cfg.allow_clear or freespace_points
+    is_clearing = too_far & allow_clear
+    valid = finite & ~too_close & (~too_far | is_clearing)
+    return valid, is_clearing
+
+
+def point_weights(points_C, cfg: TsdfIntegratorConfig):
+    """Pre-dropoff weight: 1/z^2 in the sensor frame (cc:231-240)."""
+    if cfg.use_const_weight:
+        return jnp.ones(points_C.shape[:-1], jnp.float32)
+    dist_z = jnp.abs(points_C[..., 2])
+    return jnp.where(dist_z > grid.EPS, 1.0 / jnp.maximum(dist_z, grid.EPS) ** 2, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# The fused update
+# ---------------------------------------------------------------------------
+
+
+def _per_sample_contributions(
+    voxels, mask, origin, points_G, ray_weights, voxel_size, cfg
+):
+    """Compute per-(step, ray) sdf + weight contributions.
+
+    voxels: int32[S,R,3]; mask: bool[S,R]; points_G: [R,3] endpoint per ray.
+    Returns sdf [S,R] (unclamped), weight [S,R] (post dropoff/sparsity).
+    """
+    centers = grid.grid_index_to_center_point(voxels, voxel_size)  # [S,R,3]
+    v_point_origin = points_G - origin  # [R,3]
+    dist_G = jnp.linalg.norm(v_point_origin, axis=-1)  # [R]
+    v_voxel_origin = centers - origin  # [S,R,3]
+    dist_G_V = jnp.einsum("srk,rk->sr", v_voxel_origin, v_point_origin) / jnp.maximum(
+        dist_G, grid.FLOAT_EPS
+    )
+    sdf = dist_G - dist_G_V  # (cc:216-228)
+
+    w = jnp.broadcast_to(ray_weights, sdf.shape)
+    trunc = cfg.default_truncation_distance
+    if cfg.use_weight_dropoff:
+        # Linear ramp behind the surface (cc:166-171).
+        dropoff_eps = voxel_size
+        ramp = (trunc + sdf) / (trunc - dropoff_eps)
+        w = jnp.where(sdf < -dropoff_eps, jnp.maximum(w * ramp, 0.0), w)
+    if cfg.use_sparsity_compensation_factor:
+        w = jnp.where(
+            jnp.abs(sdf) < trunc, w * cfg.sparsity_compensation_factor, w
+        )
+    w = jnp.where(mask, w, 0.0)
+    return sdf, w
+
+
+def _apply_accumulated(layer, d_w, d_wd, d_wc, d_wcw, trunc, max_weight):
+    """Renormalize accumulated contributions into the voxel channels.
+
+    d_w: sum of update weights; d_wd: sum w*sdf (pre-clamped); d_wc: sum
+    w*rgb within truncation; d_wcw: sum of those color weights.
+    Matches the sequential running average of updateTsdfVoxel (cc:186-208)
+    up to update-order effects.
+    """
+    shape = layer.channels["tsdf"].shape
+    tsdf = layer.channels["tsdf"].reshape(-1)
+    weight = layer.channels["weight"].reshape(-1)
+    color = layer.channels["color"].reshape(-1, 3)
+
+    new_w_raw = weight + d_w
+    touched = d_w > 0.0
+    denom = jnp.maximum(new_w_raw, grid.FLOAT_EPS)
+    new_d = (tsdf * weight + d_wd) / denom
+    new_d = jnp.clip(new_d, -trunc, trunc)
+    tsdf = jnp.where(touched & (new_w_raw >= grid.FLOAT_EPS), new_d, tsdf)
+
+    color_touched = d_wcw > 0.0
+    cdenom = jnp.maximum(weight + d_wcw, grid.FLOAT_EPS)[:, None]
+    new_c = (color * weight[:, None] + d_wc) / cdenom
+    color = jnp.where(color_touched[:, None], new_c, color)
+
+    weight = jnp.where(touched, jnp.minimum(new_w_raw, max_weight), weight)
+
+    channels = dict(layer.channels)
+    channels["tsdf"] = tsdf.reshape(shape)
+    channels["weight"] = weight.reshape(shape)
+    channels["color"] = color.reshape(shape + (3,))
+    return dataclasses.replace(layer, channels=channels)
+
+
+def _scatter_and_apply(
+    layer, voxels, mask, sdf, w, colors, cfg, use_color: bool
+):
+    """Scatter per-sample contributions into pool accumulators and apply."""
+    trunc = cfg.default_truncation_distance
+    n_flat = layer.max_blocks * layer.voxels_per_block
+    flat, found = vlayer.global_voxel_to_flat(layer, voxels)
+    ok = mask & found
+    idx = jnp.where(ok, flat, n_flat).reshape(-1)
+
+    w_flat = jnp.where(ok, w, 0.0).reshape(-1)
+    sdf_c = jnp.clip(sdf, -trunc, trunc)
+    d_w = jnp.zeros((n_flat,), jnp.float32).at[idx].add(w_flat, mode="drop")
+    d_wd = (
+        jnp.zeros((n_flat,), jnp.float32)
+        .at[idx]
+        .add(jnp.where(ok, w * sdf_c, 0.0).reshape(-1), mode="drop")
+    )
+    if use_color:
+        in_band = jnp.abs(sdf) < trunc  # color only near surface (cc:201-204)
+        cw = jnp.where(ok & in_band, w, 0.0)
+        d_wcw = jnp.zeros((n_flat,), jnp.float32).at[idx].add(
+            cw.reshape(-1), mode="drop"
+        )
+        wc = cw[..., None] * jnp.broadcast_to(colors, sdf.shape + (3,))
+        d_wc = jnp.zeros((n_flat, 3), jnp.float32).at[idx].add(
+            wc.reshape(-1, 3), mode="drop"
+        )
+    else:
+        d_wcw = jnp.zeros((n_flat,), jnp.float32)
+        d_wc = jnp.zeros((n_flat, 3), jnp.float32)
+
+    layer = _apply_accumulated(
+        layer, d_w, d_wd, d_wc, d_wcw, trunc, cfg.max_weight
+    )
+
+    # Mark every block that received an update as dirty (the reference sets
+    # block->updated on every visited block, tsdf_integrator.cc:128-133).
+    slot = jnp.where(ok, flat // layer.voxels_per_block, layer.max_blocks)
+    flags = layer.block_flags.at[slot.reshape(-1)].set(
+        vlayer.ACTIVE | vlayer.DIRTY_ALL, mode="drop"
+    )
+    return dataclasses.replace(layer, block_flags=flags)
+
+
+# ---------------------------------------------------------------------------
+# Allocation pass
+# ---------------------------------------------------------------------------
+
+
+def allocate_for_rays(layer, setup: raycast.RaySetup, valid, max_steps: int):
+    """Two-phase allocate: block-granular DDA to discover touched blocks,
+    then parallel hash insert. Conservative: block DDA is padded by casting
+    the same segment, so every voxel-DDA block is covered (voxel rays stay
+    within the blocks their segment traverses).
+    """
+    block_steps = max(4, max_steps // layer.vps + 3)
+    bvox, bmask = raycast.bresenham_hierarchical(
+        setup, layer.vps, block_steps, valid
+    )
+    # Dilate by one block on each axis to cover corner-crossing voxel rays.
+    offs = jnp.asarray(
+        [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1],
+         [0, 0, -1]],
+        jnp.int32,
+    )
+    cand = (bvox[None] + offs[:, None, None, None, :]).reshape(-1, 3)
+    cmask = jnp.broadcast_to(bmask[None], (offs.shape[0],) + bmask.shape).reshape(-1)
+    return vlayer.allocate_blocks(layer, cand, cmask)
+
+
+# ---------------------------------------------------------------------------
+# Integrator entry points
+# ---------------------------------------------------------------------------
+
+
+def transform_points(T_G_C, points_C):
+    """T_G_C: (R[3,3], t[3]) tuple or [4,4] matrix; points [N,3]."""
+    if isinstance(T_G_C, tuple):
+        R, t = T_G_C
+    else:
+        R, t = T_G_C[:3, :3], T_G_C[:3, 3]
+    return points_C @ R.T + t, t
+
+
+@partial(jax.jit, static_argnames=("cfg", "method", "use_color"))
+def integrate_pointcloud(
+    layer: vlayer.VoxelLayer,
+    T_G_C,
+    points_C,
+    colors,
+    cfg: TsdfIntegratorConfig,
+    method: str = "simple",
+    state: Optional[FastIntegratorState] = None,
+    use_color: bool = True,
+):
+    """Integrate one posed point cloud. Returns (layer, state).
+
+    points_C: float32[N,3] in sensor frame; colors: float32[N,3] in [0,255].
+    N is static; pad with NaN/zero-length points (they are invalid).
+    """
+    points_G, origin = transform_points(T_G_C, points_C)
+    valid, clearing = point_validity(points_C, cfg)
+    weights = point_weights(points_C, cfg)
+
+    max_steps = cfg.max_steps or raycast.max_steps_hint(
+        cfg.max_ray_length_m,
+        cfg.default_truncation_distance,
+        layer.voxel_size,
+        cfg.voxel_carving_enabled,
+    )
+
+    if method == "merged":
+        points_G, weights, colors, valid, clearing, endpoint_gvi = _bundle_rays(
+            layer, points_G, weights, colors, valid, clearing, use_color
+        )
+    else:
+        endpoint_gvi = None
+
+    if method == "fast":
+        assert state is not None, "fast integrator needs FastIntegratorState"
+        sel = _fast_select_rays(layer, points_C, valid, cfg, state)
+        valid = valid & sel
+
+    cast_from_origin = method != "fast"
+    setup = raycast.compute_ray_segments(
+        jnp.broadcast_to(origin, points_G.shape),
+        points_G,
+        clearing,
+        layer.voxel_size,
+        cfg.default_truncation_distance,
+        cfg.max_ray_length_m,
+        cfg.voxel_carving_enabled,
+        cast_from_origin=cast_from_origin,
+    )
+
+    layer, overflowed = allocate_for_rays(layer, setup, valid, max_steps)
+
+    voxels, mask = raycast.cast_rays(setup, max_steps, valid)
+
+    if method == "fast":
+        mask, state = _fast_early_exit_and_stamp(voxels, mask, cfg, state)
+
+    sdf, w = _per_sample_contributions(
+        voxels, mask, origin, points_G, weights, layer.voxel_size, cfg
+    )
+
+    if method == "merged" and cfg.enable_anti_grazing:
+        mask = mask & _anti_grazing_mask(voxels, endpoint_gvi, valid, clearing)
+        w = jnp.where(mask, w, 0.0)
+
+    layer = _scatter_and_apply(layer, voxels, mask, sdf, w, colors, cfg, use_color)
+    return layer, state, overflowed
+
+
+# ---------------------------------------------------------------------------
+# Merged bundling (cc:340-431): sort by endpoint voxel, segment-reduce.
+# ---------------------------------------------------------------------------
+
+
+def _bundle_rays(layer, points_G, weights, colors, valid, clearing, use_color):
+    n = points_G.shape[0]
+    gvi = grid.point_to_grid_index(points_G, layer.voxel_size_inv)
+
+    # Sort lanes by (clearing, endpoint voxel) so each bundle is contiguous.
+    # Invalid lanes sort last.
+    def _key(col):
+        return jnp.where(valid, col, jnp.int32(0x3FFFFFFF))
+
+    order = jnp.lexsort(
+        (_key(gvi[:, 0]), _key(gvi[:, 1]), _key(gvi[:, 2]),
+         _key(clearing.astype(jnp.int32)), (~valid).astype(jnp.int32))
+    )
+    gvi_s = gvi[order]
+    valid_s = valid[order]
+    clearing_s = clearing[order]
+    w_s = jnp.where(valid_s, weights[order], 0.0)
+    p_s = points_G[order]
+    c_s = colors[order]
+
+    same = jnp.all(gvi_s[1:] == gvi_s[:-1], axis=-1) & (
+        clearing_s[1:] == clearing_s[:-1]
+    ) & valid_s[1:] & valid_s[:-1]
+    head = jnp.concatenate([jnp.ones((1,), bool), ~same])
+    seg_id = jnp.cumsum(head.astype(jnp.int32)) - 1  # [n]
+
+    seg_w = jnp.zeros((n,), jnp.float32).at[seg_id].add(w_s)
+    seg_wp = jnp.zeros((n, 3), jnp.float32).at[seg_id].add(w_s[:, None] * p_s)
+    if use_color:
+        seg_wc = jnp.zeros((n, 3), jnp.float32).at[seg_id].add(
+            w_s[:, None] * c_s
+        )
+    else:
+        seg_wc = jnp.zeros((n, 3), jnp.float32)
+
+    # Head lanes become the representative (masked) rays for the cast.
+    denom = jnp.maximum(seg_w, grid.FLOAT_EPS)
+    mean_p = seg_wp / denom[:, None]
+    mean_c = seg_wc / denom[:, None]
+
+    rep_valid = head & valid_s
+    rep_clearing = clearing_s
+    # Clearing bundles keep only the first point, not the mean (cc:400-404);
+    # "first" here is the head lane of the sorted segment.
+    rep_p = jnp.where(rep_clearing[:, None], p_s, mean_p[seg_id])
+    rep_w = jnp.where(rep_clearing, w_s, seg_w[seg_id])
+    rep_c = mean_c[seg_id]
+    return (
+        rep_p,
+        rep_w,
+        rep_c,
+        rep_valid,
+        rep_clearing,
+        (gvi_s, rep_valid & ~rep_clearing),
+    )
+
+
+def _anti_grazing_mask(voxels, endpoint_info, valid, clearing):
+    """Skip voxels that are OTHER bundles' endpoints (cc:415-422).
+
+    Approximate via an endpoint stamp table: a visited voxel is masked if it
+    is some non-clearing bundle endpoint and differs from this ray's own
+    endpoint.
+    """
+    endpoint_gvi, endpoint_valid = endpoint_info
+    bits = 20
+    h = _hash_gvi(endpoint_gvi, bits)
+    stamp = jnp.zeros((1 << bits,), bool).at[
+        jnp.where(endpoint_valid, h, 1 << bits)
+    ].set(True, mode="drop")
+    vh = _hash_gvi(voxels, bits)  # [S,R]
+    is_endpoint = stamp[vh]
+    own = jnp.all(voxels == endpoint_gvi[None, :, :], axis=-1) & ~clearing[None, :]
+    return ~(is_endpoint & ~own)
+
+
+# ---------------------------------------------------------------------------
+# Fast integrator machinery (cc:488-590)
+# ---------------------------------------------------------------------------
+
+
+def _fast_select_rays(layer, points_C, valid, cfg, state):
+    """Keep one ray per subsampled endpoint voxel per scan (cc:514-519).
+
+    The reference tests the sensor-frame point at
+    ``start_voxel_subsampling_factor * voxel_size_inv`` resolution; the
+    first ray to claim a cell wins (here: lowest lane id — deterministic).
+    """
+    sub_inv = cfg.start_voxel_subsampling_factor / layer.voxel_size
+    start_vox = grid.point_to_grid_index(points_C, sub_inv)
+    bits = 20
+    h = _hash_gvi(start_vox, bits).astype(jnp.int32)
+    n = points_C.shape[0]
+    lane = jnp.arange(n, dtype=jnp.int32)
+    claims = jnp.full((1 << bits,), jnp.int32(0x7FFFFFFF))
+    claims = claims.at[jnp.where(valid, h, 1 << bits)].min(lane, mode="drop")
+    return claims[h] == lane
+
+
+def _fast_early_exit_and_stamp(voxels, mask, cfg, state):
+    """Terminate rays after ``max_consecutive_ray_collisions`` consecutive
+    already-observed voxels (cc:531-541), then stamp all visited voxels.
+
+    "Observed" is evaluated against stamps from previous frames; the
+    reference also dedups within-scan across threads (order-dependent), we
+    trade that for order independence. The set resets every
+    ``clear_checks_every_n_frames`` frames by epoch bump — the same O(1)
+    reset trick as the approx set's offset (approx_hash_array.h:118-124).
+    """
+    bits = int(np.log2(state.observed_stamp.shape[0]))
+    h = _hash_gvi(voxels, bits)  # [S,R]
+    every = max(cfg.clear_checks_every_n_frames, 1)
+    epoch = state.frame // jnp.uint32(every) + jnp.uint32(1)
+    seen_before = state.observed_stamp[h] == epoch
+
+    def scan_fn(consec, seen_t):
+        consec = jnp.where(seen_t, consec + 1, 0)
+        alive = consec <= cfg.max_consecutive_ray_collisions
+        return consec, alive
+
+    _, alive = jax.lax.scan(
+        scan_fn, jnp.zeros(voxels.shape[1], jnp.int32), seen_before
+    )
+    mask = mask & alive
+
+    stamps = state.observed_stamp.at[
+        jnp.where(mask, h, jnp.uint32(1 << bits))
+    ].set(epoch, mode="drop")
+    new_state = FastIntegratorState(observed_stamp=stamps, frame=state.frame + 1)
+    return mask, new_state
