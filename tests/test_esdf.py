@@ -1,0 +1,194 @@
+"""ESDF sweeps: known-geometry fixpoints, batch-vs-incremental consistency,
+accuracy vs analytic GT (port of test_sdf_integrators.cc EsdfIntegrators)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxblox_tpu.core import grid, layer as vlayer
+from voxblox_tpu.core.config import EsdfIntegratorConfig, TsdfIntegratorConfig
+from voxblox_tpu.ops import esdf, tsdf
+from voxblox_tpu.sim import world as sw
+from voxblox_tpu.utils import evaluation
+
+VOXEL = 0.10
+TRUNC = 4 * VOXEL
+
+
+def _plane_tsdf_layer(voxel=VOXEL, extent=16, max_blocks=512):
+    """Synthetic TSDF of the plane z=0: exact signed distance, clamped to
+    the fixed band; observed everywhere in a slab around it."""
+    layer = vlayer.make_layer("tsdf", voxel, vps=8, max_blocks=max_blocks)
+    blocks = np.stack(
+        np.meshgrid(np.arange(-2, 2), np.arange(-2, 2), np.arange(-2, 2),
+                    indexing="ij"), -1
+    ).reshape(-1, 3).astype(np.int32)
+    layer, _ = vlayer.allocate_blocks(
+        layer, jnp.asarray(blocks), jnp.ones(len(blocks), bool)
+    )
+    rows = jnp.arange(layer.max_blocks)
+    lin = jnp.arange(layer.voxels_per_block)
+    local = grid.linear_to_local(lin, layer.vps)
+    gvi = layer.block_ijk[:, None, :] * layer.vps + local[None, :, :]
+    z = grid.grid_index_to_center_point(gvi, voxel)[..., 2]
+    dist = jnp.clip(z, -TRUNC, TRUNC)
+    active = layer.active_mask()
+    ch = dict(layer.channels)
+    shape = ch["tsdf"].shape
+    ch["tsdf"] = jnp.where(active[:, None], dist, 0.0).reshape(shape)
+    ch["weight"] = jnp.where(
+        active[:, None], jnp.ones_like(dist), 0.0
+    ).reshape(shape)
+    return dataclasses_replace(layer, channels=ch)
+
+
+def dataclasses_replace(layer, **kw):
+    import dataclasses
+    return dataclasses.replace(layer, **kw)
+
+
+def test_esdf_plane_exact():
+    """ESDF of a plane: distance grows linearly with |z| — the sweep must
+    reproduce it exactly away from the default-distance cap."""
+    tsdf_layer = _plane_tsdf_layer()
+    cfg = EsdfIntegratorConfig(
+        max_distance_m=2.0, default_distance_m=2.0, min_distance_m=0.2,
+    )
+    esdf_layer = vlayer.make_layer("esdf", VOXEL, vps=8, max_blocks=512)
+    esdf_layer, overflow, iters = esdf.update_from_tsdf_batch(
+        esdf_layer, tsdf_layer, cfg
+    )
+    assert not bool(overflow)
+    # Query along z at x=y=0.41 (voxel centers at z = ±(k+0.5)*0.1).
+    zs = np.arange(-12, 12) * VOXEL + VOXEL / 2
+    pts = np.stack([np.full_like(zs, 0.41), np.full_like(zs, 0.41), zs], -1)
+    gvi = grid.point_to_grid_index(jnp.asarray(pts, jnp.float32), 1.0 / VOXEL)
+    got, found = vlayer.get_voxels(esdf_layer, "esdf", gvi)
+    assert bool(jnp.all(found))
+    want = np.clip(zs, -cfg.max_distance_m, cfg.max_distance_m)
+    np.testing.assert_allclose(np.asarray(got), want, atol=0.01)
+
+
+def test_esdf_quasi_euclidean_point_source():
+    """A single fixed voxel at the origin: the sweep's distance field must
+    equal the quasi-euclidean (26-neighborhood chamfer) metric."""
+    voxel = 1.0
+    layer = vlayer.make_layer("tsdf", voxel, vps=8, max_blocks=64)
+    blocks = np.stack(
+        np.meshgrid([-1, 0], [-1, 0], [-1, 0], indexing="ij"), -1
+    ).reshape(-1, 3).astype(np.int32)
+    layer, _ = vlayer.allocate_blocks(
+        layer, jnp.asarray(blocks), jnp.ones(len(blocks), bool)
+    )
+    rows = jnp.arange(layer.max_blocks)
+    active = layer.active_mask()
+    ch = dict(layer.channels)
+    ch["weight"] = jnp.where(
+        active[:, None, None, None], 1.0, 0.0
+    ) * jnp.ones_like(ch["weight"])
+    ch["tsdf"] = jnp.full_like(ch["tsdf"], 100.0)  # far positive
+    layer = dataclasses_replace(layer, channels=ch)
+    # Fixed source at global voxel (0,0,0) with distance 0.05.
+    layer = vlayer.set_voxels(
+        layer, "tsdf", jnp.asarray([[0, 0, 0]], jnp.int32), jnp.asarray([0.05])
+    )
+    cfg = EsdfIntegratorConfig(
+        max_distance_m=20.0, default_distance_m=20.0, min_distance_m=0.2,
+        min_diff_m=1e-4,
+    )
+    esdf_layer = vlayer.make_layer("esdf", voxel, vps=8, max_blocks=64)
+    esdf_layer, overflow, _ = esdf.update_from_tsdf_batch(esdf_layer, layer, cfg)
+
+    q = np.array(
+        [[1, 0, 0], [1, 1, 0], [1, 1, 1], [3, 2, 1], [-4, -4, -4], [5, 0, 0]],
+        np.int32,
+    )
+    got, found = vlayer.get_voxels(esdf_layer, "esdf", jnp.asarray(q))
+    assert bool(jnp.all(found))
+
+    def chamfer(v):
+        a = np.sort(np.abs(v))[::-1]  # a1 >= a2 >= a3
+        return (
+            (a[0] - a[1]) * 1.0
+            + (a[1] - a[2]) * np.sqrt(2.0)
+            + a[2] * np.sqrt(3.0)
+        )
+
+    want = np.array([0.05 + chamfer(v) * 1.0 for v in q], np.float32)
+    np.testing.assert_allclose(np.asarray(got), want, atol=0.02)
+
+
+def _integrated_scene(n_poses=6):
+    w = sw.SimulationWorld()
+    w.add_cylinder((0.0, 0.0, 2.0), 2.0, 4.0, color=(0, 255, 0))
+    w.add_ground_level(0.0)
+    w.min_bound = np.array([-5.0, -5.0, -0.5], np.float32)
+    w.max_bound = np.array([5.0, 5.0, 5.5], np.float32)
+    objs = w.freeze()
+    cfg = TsdfIntegratorConfig(
+        default_truncation_distance=TRUNC, max_ray_length_m=10.0
+    )
+    layer = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    poses = []
+    for i in range(n_poses):
+        a = 2 * np.pi * i / n_poses
+        pos = np.array([4.0 * np.cos(a), 4.0 * np.sin(a), 2.0])
+        fwd = -np.array([np.cos(a), np.sin(a), 0.0])
+        z = fwd
+        x = np.cross(z, [0, 0, 1.0]); x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z], 1).astype(np.float32)
+        poses.append((jnp.asarray(R), jnp.asarray(pos, jnp.float32)))
+    return w, objs, cfg, layer, poses
+
+
+def _render_into(objs, pose, layer, cfg, method="simple", state=None):
+    pts_G, colors, valid = sw.pointcloud_from_transform(
+        objs, pose, (80, 60), np.deg2rad(60.0), max_dist=10.0
+    )
+    pts_C = sw.world_points_to_sensor(pose, pts_G, valid)
+    layer, state, _ = tsdf.integrate_pointcloud(
+        layer, pose, pts_C, colors, cfg, method=method, state=state
+    )
+    return layer
+
+
+def test_esdf_batch_vs_incremental_and_gt():
+    w, objs, tcfg, layer, poses = _integrated_scene()
+    ecfg = EsdfIntegratorConfig(
+        max_distance_m=2.0, default_distance_m=2.0,
+        min_distance_m=TRUNC / 2,
+    )
+    esdf_inc = vlayer.make_layer("esdf", VOXEL, vps=16, max_blocks=2048)
+    for pose in poses:
+        layer = _render_into(objs, pose, layer, tcfg)
+        esdf_inc, layer, overflow, _ = esdf.update_from_tsdf_incremental(
+            esdf_inc, layer, ecfg
+        )
+        assert not bool(overflow)
+
+    esdf_batch = vlayer.make_layer("esdf", VOXEL, vps=16, max_blocks=2048)
+    esdf_batch, overflow, _ = esdf.update_from_tsdf_batch(
+        esdf_batch, layer, ecfg
+    )
+    assert not bool(overflow)
+
+    # Batch and incremental observe the same voxels and agree
+    # (cc test: equal overlap counts, rmse within 1e-2).
+    n_inc = evaluation.count_observed(esdf_inc)
+    n_batch = evaluation.count_observed(esdf_batch)
+    assert n_inc == n_batch
+    det = evaluation.evaluate_layers_rmse(esdf_batch, esdf_inc)
+    assert det.rmse < 2e-2, str(det)
+
+    # Accuracy vs analytic GT (distances capped at max_distance).
+    gt = sw.generate_gt_layer(
+        objs, "esdf", VOXEL, w.min_bound, w.max_bound,
+        max_dist=ecfg.max_distance_m, vps=16, max_blocks=4096,
+    )
+    det = evaluation.evaluate_layers_rmse(gt, esdf_batch,
+                                          ignore_behind_test_surface=True)
+    print("esdf vs gt:", det)
+    assert det.num_evaluated_voxels > 10000
+    assert det.rmse < 2 * VOXEL, str(det)

@@ -16,6 +16,7 @@ batch dims: ``ijk`` arrays are ``[..., 3]``.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Coordinate epsilon, identical to the reference (common.h:141).
 EPS = 1e-6
@@ -113,8 +114,8 @@ PACK_MIN = -(1 << 15)
 PACK_MAX = (1 << 15) - 1
 # For valid keys w1 = z + 2^15 is always >= 0, so any negative w1 can serve
 # as a sentinel. EMPTY marks a never-used slot, TOMBSTONE a deleted one.
-EMPTY_W1 = jnp.int32(-1)
-TOMBSTONE_W1 = jnp.int32(-2)
+EMPTY_W1 = np.int32(-1)
+TOMBSTONE_W1 = np.int32(-2)
 
 
 def pack_block_index(block_ijk):

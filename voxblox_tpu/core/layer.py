@@ -6,6 +6,9 @@ This is the TPU-native replacement for the reference's
 
 - A layer owns a preallocated *pool* of ``max_blocks`` dense vps^3 blocks per
   channel: ``channels[name]: f32[max_blocks, vps, vps, vps, *extra]``.
+  AXIS CONVENTION: the three cube axes are **[z, y, x]** — x is the
+  fastest-varying (last) axis, matching the reference's x-fastest linear
+  voxel order (block_inl.h:13-31) under C-order reshape.
 - A device hash table maps block index -> pool row (core/hash.py).
 - Block metadata lives in flat arrays indexed by pool row: the block index
   (reverse map), an active mask, and the reference's per-block dirty bits
@@ -172,47 +175,65 @@ def global_voxel_to_flat(layer: VoxelLayer, global_ijk):
 # ---------------------------------------------------------------------------
 
 
-def allocate_blocks(layer: VoxelLayer, block_ijk, valid, pending_size: int = 4096):
+def allocate_blocks(layer: VoxelLayer, block_ijk, valid, pending_size: int = 8192):
     """Ensure blocks exist; returns (layer, overflowed: bool[]).
 
     ``block_ijk``: int32[N, 3] candidate block indices (duplicates fine).
-    Discovery dedupes through a scatter "pending buffer" of ``pending_size``
-    cells; hash-colliding *distinct* new blocks can lose a round, so callers
-    integrate-after-allocate in a short python loop until no candidate is
-    missing (usually a single pass).
+    Two-phase: discovery dedupes missing candidates through a scatter
+    "pending buffer" (arbitrary winner per cell), then a parallel hash
+    insert claims pool rows. Distinct new blocks that collide in the pending
+    buffer are picked up by further rounds of an internal while-loop, which
+    runs until no valid candidate is missing (typically 1 round).
     """
-    w0, w1 = grid.pack_block_index(block_ijk)
-    slot = vhash.lookup(layer.table, w0, w1)
-    missing = valid & (slot < 0)
+    w0, w1 = grid.pack_block_index(block_ijk.reshape(-1, 3))
+    valid = valid.reshape(-1)
 
-    # Dedup into pending buffer (arbitrary winner per cell).
-    ph = (vhash.hash_words(w0, w1) & jnp.uint32(pending_size - 1)).astype(jnp.int32)
-    scatter_idx = jnp.where(missing, ph, pending_size)
-    pend_w0 = jnp.zeros((pending_size,), jnp.int32).at[scatter_idx].set(
-        w0, mode="drop"
-    )
-    pend_w1 = jnp.full((pending_size,), grid.EMPTY_W1, jnp.int32).at[
-        scatter_idx
-    ].set(w1, mode="drop")
-    new_mask = pend_w1 >= 0
+    def missing_mask(table):
+        return valid & (vhash.lookup(table, w0, w1) < 0)
 
-    # Parallel claim insert; cap rows at max_blocks.
-    table, slots, ok = vhash.insert(
-        layer.table, pend_w0, pend_w1, new_mask, base_slot=layer.num_blocks
-    )
-    overflow_mask = ok & (slots >= layer.max_blocks)
-    overflowed = jnp.any(overflow_mask)
-    # Note: rows beyond the pool are still inserted into the table; callers
-    # must treat `overflowed` as a hard error (grow max_blocks and retry).
+    def cond(state):
+        table, *_rest, rounds = state
+        return jnp.any(missing_mask(table)) & (rounds < 8)
 
-    # Write reverse map + flags + reset voxel data for fresh rows.
-    write_rows = jnp.where(ok & ~overflow_mask, slots, layer.max_blocks)
-    new_ijk = grid.unpack_block_index(pend_w0, pend_w1)
-    block_ijk_arr = layer.block_ijk.at[write_rows].set(new_ijk, mode="drop")
-    flags = layer.block_flags.at[write_rows].set(
-        ACTIVE | DIRTY_ALL, mode="drop"
+    def body(state):
+        table, block_ijk_arr, flags, num_blocks, overflowed, rounds = state
+        missing = missing_mask(table)
+        ph = (vhash.hash_words(w0, w1) & jnp.uint32(pending_size - 1)).astype(
+            jnp.int32
+        )
+        scatter_idx = jnp.where(missing, ph, pending_size)
+        pend_w0 = jnp.zeros((pending_size,), jnp.int32).at[scatter_idx].set(
+            w0, mode="drop"
+        )
+        pend_w1 = jnp.full((pending_size,), grid.EMPTY_W1, jnp.int32).at[
+            scatter_idx
+        ].set(w1, mode="drop")
+        new_mask = pend_w1 >= 0
+
+        table, slots, ok = vhash.insert(
+            table, pend_w0, pend_w1, new_mask, base_slot=num_blocks
+        )
+        overflow_mask = ok & (slots >= layer.max_blocks)
+        overflowed = overflowed | jnp.any(overflow_mask)
+
+        write_rows = jnp.where(ok & ~overflow_mask, slots, layer.max_blocks)
+        new_ijk = grid.unpack_block_index(pend_w0, pend_w1)
+        block_ijk_arr = block_ijk_arr.at[write_rows].set(new_ijk, mode="drop")
+        flags = flags.at[write_rows].set(ACTIVE | DIRTY_ALL, mode="drop")
+        num_blocks = jnp.minimum(table.count, layer.max_blocks)
+        return table, block_ijk_arr, flags, num_blocks, overflowed, rounds + 1
+
+    state = (
+        layer.table,
+        layer.block_ijk,
+        layer.block_flags,
+        layer.num_blocks,
+        jnp.zeros((), bool),
+        jnp.int32(0),
     )
-    num_blocks = jnp.minimum(table.count, layer.max_blocks)
+    table, block_ijk_arr, flags, num_blocks, overflowed, _ = jax.lax.while_loop(
+        cond, body, state
+    )
     return (
         dataclasses.replace(
             layer,

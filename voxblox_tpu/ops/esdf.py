@@ -1,0 +1,452 @@
+"""ESDF propagation: parallel 26-neighbor relaxation sweeps.
+
+TPU-native replacement for the reference's queue-driven wavefront
+integrator (voxblox src/integrator/esdf_integrator.cc, the IROS'17 paper
+algorithm). The reference pops voxels off a bucketed priority queue and
+relaxes 26 neighbors per pop (processOpenSet, cc:371-496), with a raise
+BFS over parent pointers for retracted surfaces (processRaiseSet,
+cc:305-369). Queues serialize; on TPU we compute the same fixpoint with
+data-parallel *sweeps*:
+
+- **Seeding** (<- propagate pass, cc:124-302): every observed TSDF voxel is
+  classified. Fixed band |d_tsdf| < min_distance_m copies the TSDF distance
+  and is locked (cc:178-184); all others start at sign * default_distance_m.
+- **Lower sweep**: masked Bellman-Ford over the 26-neighborhood with
+  quasi-Euclidean edge lengths voxel_size * {1, sqrt2, sqrt3}
+  (neighbor_tools.h distances), iterated to convergence. Positive and
+  negative sides relax独立ly (min outside / max inside), with the
+  reference's sign-flip rule (cc:458-496) applied per sweep.
+- **Raise**: instead of parent-pointer BFS, voxels whose support
+  disappeared are handled by *resetting every non-fixed voxel within the
+  influence radius (max_distance_m) of changed blocks* to sign * default
+  and re-lowering. Influence is bounded by max_distance_m, so this is
+  exact w.r.t. the fixpoint (values farther than the reset radius cannot
+  be affected by the change), at the cost of re-relaxing the region.
+
+Cross-block neighbor access uses an 18^3 halo-padded copy of each block,
+rebuilt from face/edge/corner neighbor slots between groups of
+``inner_sweeps`` relaxations (SURVEY.md §7 "batch ESDF sweeps per halo
+exchange").
+
+The fixpoint of these sweeps equals the Dijkstra result for this metric
+(all edge weights positive, relaxation monotone), so distances are
+allclose to the reference's; update *order* differs, which only matters
+below min_diff_m.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import grid
+from ..core import layer as vlayer
+from ..core.config import EsdfIntegratorConfig
+
+# 26-neighborhood offsets and quasi-euclidean lengths (voxel units),
+# mirroring NeighborhoodLookupTables (utils/neighbor_tools.h:10-114).
+_OFFSETS = np.array(
+    [
+        (dx, dy, dz)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+        if (dx, dy, dz) != (0, 0, 0)
+    ],
+    np.int32,
+)
+_DISTANCES = np.linalg.norm(_OFFSETS.astype(np.float64), axis=1).astype(
+    np.float32
+)
+
+OBS = vlayer.ESDF_OBSERVED
+FIX = vlayer.ESDF_FIXED
+HALL = vlayer.ESDF_HALLUCINATED
+
+
+# ---------------------------------------------------------------------------
+# Halo machinery
+# ---------------------------------------------------------------------------
+
+
+def neighbor_slot_table(layer: vlayer.VoxelLayer):
+    """int32[max_blocks, 27] pool rows of each block's 3x3x3 neighborhood
+    (slot -1 where absent). Recomputed per update; allocation is fixed
+    during sweeps."""
+    offs = np.array(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dz in (-1, 0, 1)],
+        np.int32,
+    )  # [27,3], center at index 13
+    nbr_ijk = layer.block_ijk[:, None, :] + offs[None, :, :]
+    slots = vlayer.lookup_blocks(layer, nbr_ijk)
+    active = layer.active_mask()
+    # Inactive rows get no neighbors; also mask out neighbors that are
+    # inactive rows (tombstoned lookups already return -1).
+    return jnp.where(active[:, None], slots, -1)
+
+
+def build_padded(layer, values, nbr_slots, fill):
+    """values: [max_blocks, V,V,V] -> padded [max_blocks, V+2,V+2,V+2].
+
+    The halo ring is gathered from the 26 neighbors through ``nbr_slots``;
+    absent neighbors contribute ``fill``.
+    """
+    v = layer.vps
+    mb = layer.max_blocks
+    # Row mb is a dedicated fill block.
+    ext = jnp.concatenate(
+        [values, jnp.full((1, v, v, v), fill, values.dtype)], axis=0
+    )
+    safe = jnp.where(nbr_slots < 0, mb, nbr_slots)  # [mb, 27]
+    padded = jnp.full((mb, v + 2, v + 2, v + 2), fill, values.dtype)
+    padded = padded.at[:, 1:-1, 1:-1, 1:-1].set(values)
+
+    def src_slice(o):
+        # Neighbor at offset o contributes its face/edge/corner nearest us.
+        return slice(v - 1, v) if o == -1 else (slice(0, 1) if o == 1 else slice(0, v))
+
+    def dst_slice(o):
+        return slice(0, 1) if o == -1 else (slice(v + 1, v + 2) if o == 1 else slice(1, v + 1))
+
+    # Pool cubes are laid out [z, y, x] (see core/layer.py docstring): the
+    # dx component of a neighbor offset maps to the LAST padded axis.
+    k = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                if (dx, dy, dz) == (0, 0, 0):
+                    k += 1
+                    continue
+                rows = ext[safe[:, k]]
+                padded = padded.at[
+                    :, dst_slice(dz), dst_slice(dy), dst_slice(dx)
+                ].set(rows[:, src_slice(dz), src_slice(dy), src_slice(dx)])
+                k += 1
+    return padded
+
+
+# ---------------------------------------------------------------------------
+# Seeding (propagate pass)
+# ---------------------------------------------------------------------------
+
+
+def _sync_blocks(esdf_layer, tsdf_layer, rows_mask):
+    """Allocate in the ESDF layer every TSDF block selected by rows_mask
+    (bool over tsdf pool rows)."""
+    blocks = tsdf_layer.block_ijk
+    esdf_layer, overflow = vlayer.allocate_blocks(esdf_layer, blocks, rows_mask)
+    return esdf_layer, overflow
+
+
+def seed_from_tsdf(
+    esdf_layer: vlayer.VoxelLayer,
+    tsdf_layer: vlayer.VoxelLayer,
+    cfg: EsdfIntegratorConfig,
+    tsdf_rows_mask,
+):
+    """Propagate-pass (cc:124-302) over the selected TSDF rows.
+
+    Returns (esdf_layer, changed_rows bool[max_blocks_esdf]) where
+    changed_rows flags ESDF rows whose fixed band moved (drives the
+    raise-region reset).
+    """
+    v = esdf_layer.vps
+    vpb = esdf_layer.voxels_per_block
+    mbe = esdf_layer.max_blocks
+
+    # Map esdf rows -> tsdf rows for the selected set.
+    tsdf_slot_of_esdf = vlayer.lookup_blocks(tsdf_layer, esdf_layer.block_ijk)
+    sel_t = tsdf_rows_mask.at[
+        jnp.where(tsdf_slot_of_esdf >= 0, tsdf_slot_of_esdf, 0)
+    ].get()
+    sel = esdf_layer.active_mask() & (tsdf_slot_of_esdf >= 0) & sel_t
+    safe_t = jnp.where(sel, tsdf_slot_of_esdf, 0)
+
+    t_d = tsdf_layer.channels["tsdf"].reshape(-1, vpb)[safe_t]
+    t_w = tsdf_layer.channels["weight"].reshape(-1, vpb)[safe_t]
+    e_d = esdf_layer.channels["esdf"].reshape(mbe, vpb)
+    e_f = esdf_layer.channels["esdf_flags"].reshape(mbe, vpb)
+
+    observed_t = (t_w >= cfg.min_weight) & sel[:, None]
+    tsdf_fixed = observed_t & (jnp.abs(t_d) < cfg.min_distance_m)
+    sgn = jnp.where(t_d >= 0.0, 1.0, -1.0)  # signum with 0 -> +
+    seed_d = jnp.where(tsdf_fixed, t_d, sgn * cfg.default_distance_m)
+
+    was_obs = (e_f & OBS) != 0
+    was_fixed = (e_f & FIX) != 0
+    was_hall = (e_f & HALL) != 0
+
+    new_voxel = observed_t & (~was_obs | was_hall)
+
+    # Existing voxels: classify lower/raise/flip (cc:211-279).
+    exist = observed_t & was_obs & ~was_hall
+    either_fixed = tsdf_fixed | was_fixed
+    # (1a) unfix -> raise with sign*default.
+    unfix = exist & either_fixed & ~tsdf_fixed
+    # lower/raise while fixed: adopt tsdf value when tsdf_fixed.
+    lower = exist & either_fixed & tsdf_fixed & (
+        ((e_d > 0.0) & (t_d + cfg.min_diff_m < e_d))
+        | ((e_d <= 0.0) & (t_d - cfg.min_diff_m > e_d))
+    )
+    raise_ = exist & either_fixed & tsdf_fixed & (
+        ((e_d > 0.0) & (t_d - cfg.min_diff_m > e_d))
+        | ((e_d <= 0.0) & (t_d + cfg.min_diff_m < e_d))
+    )
+    # sign flip for non-fixed voxels (cc:255-275).
+    flip = exist & ~either_fixed & (jnp.sign(t_d) != jnp.sign(e_d))
+
+    update = new_voxel | unfix | lower | raise_ | flip
+    out_d = jnp.where(update, seed_d, e_d)
+    # A raise happened where the value moved away from the surface.
+    raised = unfix | raise_ | (flip & (t_d >= e_d))
+
+    new_flags = (
+        OBS
+        | jnp.where(tsdf_fixed, FIX, np.uint8(0)).astype(jnp.uint8)
+    )
+    out_f = jnp.where(
+        observed_t,
+        new_flags,  # observed voxels: flags fully re-derived from TSDF
+        e_f,
+    ).astype(jnp.uint8)
+
+    changed = jnp.any(update | (jnp.abs(out_d - e_d) > cfg.min_diff_m), axis=1)
+    raised_rows = jnp.any(raised, axis=1)
+
+    ch = dict(esdf_layer.channels)
+    ch["esdf"] = out_d.reshape(ch["esdf"].shape)
+    ch["esdf_flags"] = out_f.reshape(ch["esdf_flags"].shape)
+    esdf_layer = dataclasses.replace(esdf_layer, channels=ch)
+    return esdf_layer, changed, raised_rows
+
+
+# ---------------------------------------------------------------------------
+# Lower sweep
+# ---------------------------------------------------------------------------
+
+
+def _relax_once(d_pad, obs_pad, src_pad, d, upd_mask, voxel_size, cfg):
+    """One 26-neighbor relaxation on padded arrays.
+
+    d_pad/obs_pad/src_pad: [mb, V+2,V+2,V+2] distance/observed/source-ok.
+    d: [mb,V,V,V] current center values; upd_mask: non-fixed & observed &
+    in-region center voxels. Returns new center distances.
+    """
+    v = d.shape[1]
+    pos = d > 0.0
+    best_pos = jnp.full_like(d, jnp.inf)
+    best_neg = jnp.full_like(d, -jnp.inf)
+    flip_len = jnp.full_like(d, jnp.inf)
+
+    for k in range(26):
+        dx, dy, dz = (int(_OFFSETS[k, 0]), int(_OFFSETS[k, 1]),
+                      int(_OFFSETS[k, 2]))
+        step = np.float32(_DISTANCES[k]) * voxel_size
+        # Cube layout is [z, y, x] — dz indexes the first spatial axis.
+        sl = (
+            slice(None),
+            slice(1 + dz, 1 + dz + v),
+            slice(1 + dy, 1 + dy + v),
+            slice(1 + dx, 1 + dx + v),
+        )
+        nd = d_pad[sl]
+        n_ok = obs_pad[sl] & src_pad[sl]
+        n_pos = nd > 0.0
+        best_pos = jnp.minimum(
+            best_pos, jnp.where(n_ok & n_pos, nd + step, jnp.inf)
+        )
+        best_neg = jnp.maximum(
+            best_neg, jnp.where(n_ok & ~n_pos, nd - step, -jnp.inf)
+        )
+        # Sign-flip rule (cc:458-496): neighbor with opposite sign whose
+        # projected value disagrees strongly caps |d| at the step length.
+        diff_sign = n_pos != pos
+        potential = nd - jnp.where(n_pos, step, -step)
+        discrepant = jnp.abs(potential - d) > step
+        flip_len = jnp.minimum(
+            flip_len, jnp.where(n_ok & diff_sign & discrepant, step, jnp.inf)
+        )
+
+    cand = jnp.where(pos, jnp.minimum(d, best_pos), jnp.maximum(d, best_neg))
+    # Apply flip cap where a discrepant opposite-sign neighbor exists.
+    sgn = jnp.where(pos, 1.0, -1.0)
+    cand = jnp.where(
+        jnp.isfinite(flip_len) & (jnp.abs(cand) > flip_len),
+        sgn * flip_len,
+        cand,
+    )
+    improved = jnp.abs(cand - d) > cfg.min_diff_m
+    return jnp.where(upd_mask & improved, cand, d)
+
+
+def lower_sweep(
+    esdf_layer: vlayer.VoxelLayer,
+    cfg: EsdfIntegratorConfig,
+    region_rows=None,
+):
+    """Relax to convergence. region_rows: bool[max_blocks] rows allowed to
+    change (None = all active rows). Returns (layer, outer_iters)."""
+    v = esdf_layer.vps
+    mb = esdf_layer.max_blocks
+    nbr = neighbor_slot_table(esdf_layer)
+    active = esdf_layer.active_mask()
+    if region_rows is None:
+        region_rows = active
+    region_rows = region_rows & active
+
+    flags = esdf_layer.channels["esdf_flags"]
+    obs = (flags & OBS) != 0
+    fixed = (flags & FIX) != 0
+    upd_mask = obs & ~fixed & region_rows[:, None, None, None]
+    obs_f = obs.astype(jnp.float32)
+    fix_f = fixed.astype(jnp.float32)
+
+    def outer_cond(state):
+        d, changed, it = state
+        return changed & (it < cfg.max_outer_sweeps)
+
+    def outer_body(state):
+        d, _, it = state
+        d_pad = build_padded(esdf_layer, d, nbr, jnp.float32(0.0))
+        obs_pad = build_padded(esdf_layer, obs_f, nbr, jnp.float32(0.0)) > 0.5
+        # Sources must be within max_distance (processOpenSet skip rule).
+        src_pad = obs_pad & (jnp.abs(d_pad) < cfg.max_distance_m)
+        d0 = d
+
+        def inner(i, dd):
+            return _relax_once(
+                # Center region of the padded array refreshes from dd so
+                # within-block propagation advances every inner sweep;
+                # halo stays stale until the next outer rebuild.
+                d_pad.at[:, 1:-1, 1:-1, 1:-1].set(dd),
+                obs_pad,
+                src_pad,
+                dd,
+                upd_mask,
+                esdf_layer.voxel_size,
+                cfg,
+            )
+
+        d = jax.lax.fori_loop(0, cfg.inner_sweeps, inner, d)
+        changed = jnp.any(jnp.abs(d - d0) > cfg.min_diff_m)
+        return d, changed, it + 1
+
+    d = esdf_layer.channels["esdf"]
+    d, _, iters = jax.lax.while_loop(
+        outer_cond, outer_body, (d, jnp.asarray(True), jnp.int32(0))
+    )
+    # Clamp to +-max/default band: values beyond max_distance stay at
+    # sign*default (they were seeded there and sweeps never push beyond).
+    ch = dict(esdf_layer.channels)
+    ch["esdf"] = d
+    return dataclasses.replace(esdf_layer, channels=ch), iters
+
+
+# ---------------------------------------------------------------------------
+# Region reset (the parallel "raise")
+# ---------------------------------------------------------------------------
+
+
+def _dilate_rows(layer, rows_mask, radius_blocks: int):
+    """Dilate a block-row mask by N blocks through the hash table."""
+    r = radius_blocks
+    offs = np.array(
+        [
+            (dx, dy, dz)
+            for dx in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+            for dz in range(-r, r + 1)
+        ],
+        np.int32,
+    )
+    src_rows = jnp.nonzero(rows_mask, size=layer.max_blocks, fill_value=-1)[0]
+    src_ok = src_rows >= 0
+    ijk = layer.block_ijk[jnp.where(src_ok, src_rows, 0)]
+    cand = (ijk[:, None, :] + offs[None, :, :]).reshape(-1, 3)
+    slots = vlayer.lookup_blocks(layer, cand).reshape(-1, offs.shape[0])
+    slots = jnp.where(src_ok[:, None], slots, -1)
+    out = jnp.zeros((layer.max_blocks + 1,), bool)
+    out = out.at[jnp.where(slots >= 0, slots, layer.max_blocks).reshape(-1)].set(
+        True
+    )
+    return out[:-1] & layer.active_mask()
+
+
+def reset_region(esdf_layer, region_rows, cfg):
+    """Reset non-fixed voxels of the region to sign*default (raise)."""
+    flags = esdf_layer.channels["esdf_flags"]
+    obs = (flags & OBS) != 0
+    fixed = (flags & FIX) != 0
+    d = esdf_layer.channels["esdf"]
+    m = obs & ~fixed & region_rows[:, None, None, None]
+    sgn = jnp.where(d >= 0.0, 1.0, -1.0)
+    d = jnp.where(m, sgn * cfg.default_distance_m, d)
+    ch = dict(esdf_layer.channels)
+    ch["esdf"] = d
+    return dataclasses.replace(esdf_layer, channels=ch)
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def update_from_tsdf_batch(esdf_layer, tsdf_layer, cfg: EsdfIntegratorConfig):
+    """Batch update: drop + reseed from every TSDF block and sweep
+    (updateFromTsdfLayerBatch, cc:94-102)."""
+    # Clear all esdf voxel state (keep allocation).
+    ch = dict(esdf_layer.channels)
+    ch["esdf"] = jnp.zeros_like(ch["esdf"])
+    ch["esdf_flags"] = jnp.zeros_like(ch["esdf_flags"])
+    ch["parent"] = jnp.zeros_like(ch["parent"])
+    esdf_layer = dataclasses.replace(esdf_layer, channels=ch)
+
+    rows_mask = tsdf_layer.active_mask()
+    esdf_layer, overflow = _sync_blocks(esdf_layer, tsdf_layer, rows_mask)
+    esdf_layer, _, _ = seed_from_tsdf(esdf_layer, tsdf_layer, cfg, rows_mask)
+    esdf_layer, iters = lower_sweep(esdf_layer, cfg)
+    return esdf_layer, overflow, iters
+
+
+def update_from_tsdf_incremental(
+    esdf_layer, tsdf_layer, cfg: EsdfIntegratorConfig
+):
+    """Incremental update driven by the TSDF kEsdf dirty bits
+    (updateFromTsdfLayer, cc:104-122). Clears those bits on the TSDF layer.
+
+    Returns (esdf_layer, tsdf_layer, overflow, iters).
+    """
+    dirty = vlayer.dirty_mask(tsdf_layer, vlayer.DIRTY_ESDF)
+    esdf_layer, tsdf_layer, overflow, iters = _incremental_jit(
+        esdf_layer, tsdf_layer, dirty, cfg
+    )
+    return esdf_layer, tsdf_layer, overflow, iters
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _incremental_jit(esdf_layer, tsdf_layer, dirty_rows, cfg):
+    esdf_layer, overflow = _sync_blocks(esdf_layer, tsdf_layer, dirty_rows)
+    esdf_layer, changed_rows, raised_rows = seed_from_tsdf(
+        esdf_layer, tsdf_layer, cfg, dirty_rows
+    )
+    # Raise: reset the influence region of rows whose values moved away
+    # from the surface, bounded by max_distance.
+    radius = max(
+        1, int(np.ceil(cfg.max_distance_m / esdf_layer.block_size))
+    )
+    raise_region = _dilate_rows(esdf_layer, raised_rows, radius)
+    esdf_layer = reset_region(esdf_layer, raise_region, cfg)
+    # Sweep region: everything the seeds/resets can influence.
+    sweep_region = _dilate_rows(
+        esdf_layer, changed_rows | raise_region, radius
+    )
+    esdf_layer, iters = lower_sweep(esdf_layer, cfg, sweep_region)
+    tsdf_layer = vlayer.clear_dirty(tsdf_layer, vlayer.DIRTY_ESDF)
+    return esdf_layer, tsdf_layer, overflow, iters

@@ -134,7 +134,7 @@ def object_distances(objects: ObjectSet, points):
 # Cylinder:300-383). Each returns t in [0, inf); miss = +inf.
 # ---------------------------------------------------------------------------
 
-BIG = jnp.float32(np.inf)
+BIG = np.float32(np.inf)
 
 
 def _sphere_ray(o, d, c, prm):
