@@ -1,0 +1,128 @@
+"""Sphere tracing + differentiable renderer: depth accuracy vs analytic,
+pixel gradients vs finite differences."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxblox_tpu.core import layer as vlayer
+from voxblox_tpu.ops import render
+from voxblox_tpu.sim import world as sw
+
+
+def _sphere_layer(voxel=0.1, radius=1.0, center=(0.0, 0.0, 0.0)):
+    w = sw.SimulationWorld()
+    w.add_sphere(center, radius, color=(250, 10, 10))
+    objs = w.freeze()
+    bound = radius + 10 * voxel
+    c = np.asarray(center)
+    return objs, sw.generate_gt_layer(
+        objs, "tsdf", voxel, c - bound, c + bound, max_dist=6 * voxel,
+        vps=8, max_blocks=2048,
+    )
+
+
+def test_surface_distance_reference_stepper():
+    objs, layer = _sphere_layer()
+    origins = jnp.asarray([[-3.0, 0.0, 0.0], [0.0, -3.0, 0.0],
+                           [-3.0, 0.05, 0.02]], jnp.float32)
+    dirs = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]],
+                       jnp.float32)
+    t, hit = render.surface_distance_along_rays(layer, origins, dirs, 10.0)
+    t, hit = np.asarray(t), np.asarray(hit)
+    assert hit.all()
+    # Surface at distance 2 from each origin (sphere radius 1 at origin).
+    np.testing.assert_allclose(t[:2], 2.0, atol=0.15)
+
+
+def test_ray_missing_surface():
+    objs, layer = _sphere_layer()
+    origins = jnp.asarray([[-3.0, 0.0, 0.0]], jnp.float32)
+    dirs = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    t, hit = render.surface_distance_along_rays(layer, origins, dirs, 4.0)
+    assert not bool(hit[0])
+
+
+def test_render_depth_accuracy():
+    objs, layer = _sphere_layer()
+    n = 32
+    ang = np.linspace(-0.25, 0.25, n)
+    dirs = np.stack([np.cos(ang), np.sin(ang), np.zeros(n)], -1).astype(
+        np.float32
+    )
+    origins = np.tile([-3.0, 0.0, 0.0], (n, 1)).astype(np.float32)
+    depth, hit = render.render_depth(
+        layer, jnp.asarray(origins), jnp.asarray(dirs), 8.0
+    )
+    depth, hit = np.asarray(depth), np.asarray(hit)
+    assert hit.all()
+    # Analytic: |o + t d| = r with o = (-3, 0, 0).
+    b = -3.0 * dirs[:, 0]
+    disc = b * b - (9.0 - 1.0)
+    t_true = -b - np.sqrt(disc)
+    np.testing.assert_allclose(depth, t_true, atol=0.04)
+
+
+def test_render_color():
+    objs, layer = _sphere_layer()
+    origins = jnp.asarray([[-3.0, 0.0, 0.0]], jnp.float32)
+    dirs = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    depth, color, hit = render.render_depth(
+        layer, origins, dirs, 8.0, with_color=True
+    )
+    assert bool(hit[0])
+    c = np.asarray(color[0])
+    assert abs(c[0] - 250) < 20 and c[1] < 40 and c[2] < 40
+
+
+def test_depth_gradients_match_finite_differences():
+    """Pixel-depth gradients w.r.t. voxel SDF values vs central FD."""
+    objs, layer = _sphere_layer(voxel=0.125)
+    origins = jnp.asarray(
+        [[-3.0, 0.0, 0.0], [-3.0, 0.11, 0.07]], jnp.float32
+    )
+    dirs = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], jnp.float32)
+
+    def loss(tsdf_channel):
+        ch = dict(layer.channels)
+        ch["tsdf"] = tsdf_channel
+        lyr = dataclasses.replace(layer, channels=ch)
+        depth, hit = render.render_depth(lyr, origins, dirs, 8.0)
+        return jnp.sum(depth)
+
+    base = layer.channels["tsdf"]
+    g = jax.grad(loss)(base)
+    g = np.asarray(g)
+    nz = np.argwhere(np.abs(g) > 1e-3)
+    assert len(nz) >= 8, "expected gradients on corner voxels"
+    f0 = float(loss(base))
+    eps = 1e-3
+    checked = 0
+    for idx in nz[:: max(1, len(nz) // 6)][:6]:
+        idx = tuple(idx)
+        fp = float(loss(base.at[idx].add(eps)))
+        fm = float(loss(base.at[idx].add(-eps)))
+        fd = (fp - fm) / (2 * eps)
+        assert abs(fd - g[idx]) < 0.08 * max(1.0, abs(fd)), (
+            idx, fd, g[idx]
+        )
+        checked += 1
+    assert checked >= 4
+
+
+def test_render_depth_image_shape():
+    objs, layer = _sphere_layer()
+    R = jnp.eye(3)
+    # camera at -3 x looking +x: camera +z -> world +x.
+    Rmat = jnp.asarray(
+        [[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    )
+    T = (Rmat, jnp.asarray([-3.0, 0.0, 0.0]))
+    depth, hit = render.render_depth_image(
+        layer, T, (40.0, 40.0, 16.0, 12.0), (32, 24), 8.0
+    )
+    assert depth.shape == (24, 32)
+    assert bool(hit[12, 16])
+    assert 1.8 < float(depth[12, 16]) < 2.2

@@ -196,4 +196,5 @@ def interpolate_trilinear_color(layer, points):
     vals, found = vlayer.get_voxels(layer, "color", corners)
     w = _trilinear_weights(frac)
     out = jnp.sum(w[..., None] * vals, axis=-2)
-    return out, jnp.all(found, axis=-1)
+    # found has a trailing broadcast dim for the color channels.
+    return out, jnp.all(found[..., 0], axis=-1)

@@ -1,0 +1,170 @@
+"""Sphere tracing: surface queries + a differentiable depth/color renderer.
+
+Two layers of functionality:
+
+1. ``surface_distance_along_rays`` — vectorized port of the reference's
+   ``getSurfaceDistanceAlongRay`` stepping rules
+   (voxblox utils/distance_utils.h:16-78): advance by one voxel through
+   unallocated/unobserved space, advance by the voxel's stored distance
+   when it exceeds a voxel, declare a hit at or just before the surface.
+   Used by the intensity integrator (intensity_integrator.cc:15-66).
+
+2. ``render_depth`` — the differentiable extension (SURVEY.md §2.3 #30
+   "north star"): the march itself is gradient-stopped, then one Newton
+   correction step with trilinear SDF sampling makes the output depth
+   differentiable w.r.t. the voxel SDF values by the implicit function
+   theorem:  t* = stop(t) - sdf(x_t) / stop(<grad sdf, d>).
+   Gradients reach voxel sdf (and colors via trilinear color sampling)
+   through plain XLA gather adjoints (scatter-add in the backward), so
+   depth images and pixel losses backpropagate into the map.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import grid
+from ..core import layer as vlayer
+from . import interp
+
+
+def _nearest_voxel(layer, points):
+    """Nearest-voxel (distance, weight, found) at world points."""
+    gvi = grid.point_to_grid_index(points, 1.0 / layer.voxel_size)
+    d, found = vlayer.get_voxels(layer, "tsdf", gvi)
+    w, _ = vlayer.get_voxels(layer, "weight", gvi)
+    return d, w, found
+
+
+@partial(jax.jit, static_argnames=("max_steps", "max_distance"))
+def surface_distance_along_rays(
+    layer: vlayer.VoxelLayer,
+    origins,
+    bearing_vectors,
+    max_distance: float,
+    max_steps: int = 0,
+):
+    """Reference stepping rules, lockstep over rays.
+
+    origins/bearing_vectors: f32[R,3] (bearings need not be normalized).
+    Returns (t f32[R], hit bool[R]); surface point = origin + t * dir.
+    """
+    dirs = bearing_vectors / jnp.linalg.norm(
+        bearing_vectors, axis=-1, keepdims=True
+    )
+    vs = layer.voxel_size
+    if not max_steps:
+        max_steps = int(max_distance / vs * 1.05) + 8
+
+    def body(_, state):
+        t, hit, done = state
+        x = origins + t[:, None] * dirs
+        d, w, found = _nearest_voxel(layer, x)
+        observed = found & (w > 1e-6)
+        # Rule order mirrors distance_utils.h:35-69.
+        step_unobs = ~observed
+        step_far = observed & (d > vs)
+        hit_neg = observed & (d < 0.0)
+        hit_near = observed & (d >= 0.0) & (d < vs)
+        # "Default case" (d == vs exactly): advance one voxel.
+        dt = jnp.where(step_unobs, vs, jnp.where(step_far, d, vs))
+        dt = jnp.where(hit_near, d, dt)
+        newly_hit = ~done & (hit_neg | hit_near)
+        t = jnp.where(done, t, t + jnp.where(hit_neg, 0.0, dt))
+        hit = hit | newly_hit
+        done = done | newly_hit | (t >= max_distance)
+        return t, hit, done
+
+    r = origins.shape[0] if origins.ndim > 1 else dirs.shape[0]
+    t0 = jnp.zeros((dirs.shape[0],), jnp.float32)
+    t, hit, _ = jax.lax.fori_loop(
+        0, max_steps, body, (t0, jnp.zeros_like(t0, bool),
+                             jnp.zeros_like(t0, bool))
+    )
+    return t, hit
+
+
+@partial(jax.jit, static_argnames=("max_steps", "with_color", "max_distance"))
+def render_depth(
+    layer: vlayer.VoxelLayer,
+    origins,
+    dirs,
+    max_distance: float,
+    max_steps: int = 0,
+    with_color: bool = False,
+):
+    """Differentiable depth (and color) along rays.
+
+    origins/dirs f32[R,3], dirs unit. Returns (depth [R], hit [R]) or
+    (depth, color [R,3], hit). ``depth`` carries gradients to the voxel
+    SDF channel; color to the color channel.
+    """
+    vs = layer.voxel_size
+    if not max_steps:
+        max_steps = int(max_distance / vs * 1.4) + 8
+
+    def step(_, state):
+        t, done = state
+        x = origins + t[:, None] * dirs
+        s, valid = interp.interpolate(layer, x)
+        d_nn, w_nn, found = _nearest_voxel(layer, x)
+        # Conservative march: trilinear sdf where valid, else voxel hop.
+        adv = jnp.where(valid, jnp.maximum(s, 0.35 * vs), vs)
+        adv = jnp.where(found & (w_nn > 1e-6) | ~found, adv, vs)
+        hit_now = valid & (s < 0.35 * vs)
+        t = jnp.where(done | hit_now, t, t + adv)
+        done = done | hit_now | (t >= max_distance)
+        return t, done
+
+    t0 = jnp.full((dirs.shape[0],), 0.0, jnp.float32)
+    t_raw, done = jax.lax.fori_loop(
+        0, max_steps, step, (t0, jnp.zeros(dirs.shape[0], bool))
+    )
+    t_stop = jax.lax.stop_gradient(t_raw)
+    x_stop = origins + t_stop[:, None] * dirs
+    s, g, valid = interp.interpolate_with_gradient(layer, x_stop)
+    denom = jnp.sum(jax.lax.stop_gradient(g) * dirs, axis=-1)
+    # Along-ray SDF slope ~1 near a surface; clamp away from 0 for safety.
+    denom = jnp.where(jnp.abs(denom) < 0.3,
+                      jnp.where(denom < 0.0, -0.3, 0.3), denom)
+    # Newton step: differentiable in the map through s.
+    depth = t_stop - s / denom
+    hit = valid & (t_stop < max_distance) & (jnp.abs(s) < 2.0 * vs)
+    depth = jnp.where(hit, depth, max_distance)
+    if with_color:
+        x_surf = origins + jax.lax.stop_gradient(depth)[:, None] * dirs
+        color, cvalid = interp.interpolate_trilinear_color(layer, x_surf)
+        color = jnp.where(hit[:, None] & cvalid[:, None], color, 0.0)
+        return depth, color, hit
+    return depth, hit
+
+
+def render_depth_image(layer, T_G_C, intrinsics, resolution, max_distance,
+                      **kw):
+    """Render a pinhole depth image. intrinsics = (fx, fy, cx, cy);
+    resolution = (W, H). Returns depth [H, W] (+ color, hit)."""
+    w, h = resolution
+    fx, fy, cx, cy = intrinsics
+    us = jnp.arange(w, dtype=jnp.float32)
+    vcoords = jnp.arange(h, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(us, vcoords, indexing="xy")
+    rays_C = jnp.stack(
+        [(uu - cx) / fx, (vv - cy) / fy, jnp.ones_like(uu)], axis=-1
+    ).reshape(-1, 3)
+    rays_C = rays_C / jnp.linalg.norm(rays_C, axis=-1, keepdims=True)
+    R, tr = T_G_C
+    rays_G = rays_C @ R.T
+    origins = jnp.broadcast_to(tr, rays_G.shape)
+    out = render_depth(layer, origins, rays_G, max_distance, **kw)
+    if len(out) == 3:
+        depth, color, hit = out
+        return (
+            depth.reshape(h, w),
+            color.reshape(h, w, 3),
+            hit.reshape(h, w),
+        )
+    depth, hit = out
+    return depth.reshape(h, w), hit.reshape(h, w)
