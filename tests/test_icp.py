@@ -1,0 +1,69 @@
+"""ICP: recover a small pose perturbation against a GT TSDF layer
+(methodology of the reference ICP usage in tsdf_server.cc:254-299)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxblox_tpu.core.config import IcpConfig
+from voxblox_tpu.ops import icp as vicp
+from voxblox_tpu.sim import world as sw
+from voxblox_tpu.utils import lie
+
+
+def _scene():
+    w = sw.SimulationWorld()
+    w.add_cube((0.0, 0.0, 1.0), (1.5, 2.5, 2.0))
+    w.add_sphere((2.0, -1.0, 1.0), 0.8)
+    w.add_ground_level(0.0)
+    objs = w.freeze()
+    layer = sw.generate_gt_layer(
+        objs, "tsdf", 0.08, (-4.0, -4.0, -0.4), (4.0, 4.0, 3.5),
+        max_dist=0.5, vps=8, max_blocks=4096,
+    )
+    return objs, layer
+
+
+def test_lie_roundtrip(rng):
+    xi = jnp.asarray(rng.uniform(-0.5, 0.5, 6).astype(np.float32))
+    R, t = lie.se3_exp(xi)
+    back = lie.se3_log(R, t)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xi), atol=1e-5)
+
+
+def test_icp_recovers_yaw_translation():
+    objs, layer = _scene()
+    # True pose: camera at (-3, 0.5, 1) looking +x.
+    R_true = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    t_true = jnp.asarray([-3.0, 0.5, 1.0])
+    pts_G, _, valid = sw.pointcloud_from_transform(
+        objs, (R_true, t_true), (64, 48), np.deg2rad(70.0), 8.0
+    )
+    pts_C = sw.world_points_to_sensor((R_true, t_true), pts_G, valid)
+
+    # Perturb: 2 deg yaw + 5 cm translation.
+    dyaw = np.deg2rad(2.0)
+    Rz = jnp.asarray(
+        [
+            [np.cos(dyaw), -np.sin(dyaw), 0.0],
+            [np.sin(dyaw), np.cos(dyaw), 0.0],
+            [0.0, 0.0, 1.0],
+        ],
+        jnp.float32,
+    )
+    R_bad = Rz @ R_true
+    t_bad = t_true + jnp.asarray([0.05, -0.04, 0.03])
+
+    cfg = IcpConfig(mini_batch_size=64, iterations=1,
+                    inital_translation_weighting=10.0,
+                    inital_rotation_weighting=10.0)
+    res = vicp.run_icp(layer, pts_C, (R_bad, t_bad), cfg)
+    assert int(res.num_updates) > 5
+    t_err_before = float(jnp.linalg.norm(t_bad - t_true))
+    t_err_after = float(jnp.linalg.norm(res.t - t_true))
+    r_err_before = float(
+        jnp.linalg.norm(lie.so3_log(R_bad @ R_true.T))
+    )
+    r_err_after = float(jnp.linalg.norm(lie.so3_log(res.R @ R_true.T)))
+    assert t_err_after < 0.6 * t_err_before, (t_err_before, t_err_after)
+    assert r_err_after < 0.7 * r_err_before, (r_err_before, r_err_after)

@@ -1,0 +1,153 @@
+"""Server layer e2e: SimulationServer benchmark + save/load + mesh +
+transform/planning utilities."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from voxblox_tpu.core import grid, layer as vlayer
+from voxblox_tpu.core.config import (
+    EsdfIntegratorConfig,
+    MapConfig,
+    TsdfIntegratorConfig,
+)
+from voxblox_tpu.ops import transform as vtransform
+from voxblox_tpu.server import EsdfServer, SimulationServer
+from voxblox_tpu.sim import world as sw
+from voxblox_tpu.utils import planning
+
+
+def _world():
+    w = sw.SimulationWorld()
+    w.add_cylinder((0.0, 0.0, 2.0), 2.0, 4.0, color=(0, 255, 0))
+    w.add_ground_level(0.0)
+    w.min_bound = np.array([-5.0, -5.0, -0.5], np.float32)
+    w.max_bound = np.array([5.0, 5.0, 5.5], np.float32)
+    return w
+
+
+def test_simulation_server_end_to_end():
+    srv = SimulationServer(
+        _world(), voxel_size=0.2, camera_res=(64, 48), method="merged",
+        max_blocks=2048,
+    )
+    result = srv.run(n_viewpoints=6, seed=1)
+    assert result["tsdf"].num_evaluated_voxels > 1000
+    assert result["tsdf"].rmse < 2 * 0.2
+    assert result["esdf"].rmse < 2 * 0.2
+    assert "integrate/merged" in result["timing"]
+
+
+def test_esdf_server_pipeline(tmp_path):
+    w = _world()
+    objs = w.freeze()
+    srv = EsdfServer(
+        map_config=MapConfig(voxel_size=0.2, max_blocks=1024),
+        integrator_config=TsdfIntegratorConfig(
+            default_truncation_distance=0.8, max_ray_length_m=10.0
+        ),
+        esdf_config=EsdfIntegratorConfig(
+            max_distance_m=2.0, default_distance_m=2.0, min_distance_m=0.4
+        ),
+        method="simple",
+    )
+    pose = (
+        jnp.asarray([[0.0, 0.0, -1.0], [1.0, 0.0, 0.0], [0.0, -1.0, 0.0]]).T,
+        jnp.asarray([4.0, 0.0, 2.0]),
+    )
+    # Use sim camera: look at center from +x.
+    R = jnp.asarray(
+        np.stack(
+            [
+                np.cross([-1.0, 0, 0], [0, 0, 1.0]) * -1,
+                [0.0, 0.0, -1.0],
+                [-1.0, 0.0, 0.0],
+            ],
+            1,
+        ),
+        jnp.float32,
+    )
+    pts_G, colors, valid = sw.pointcloud_from_transform(
+        objs, (R, pose[1]), (64, 48), np.deg2rad(60.0), 10.0
+    )
+    pts_C = sw.world_points_to_sensor((R, pose[1]), pts_G, valid)
+    srv.insert_pointcloud((R, pose[1]), pts_C, colors)
+    iters = srv.update_esdf()
+    assert iters >= 1
+    srv.update_mesh()
+    assert srv.mesh_layer.num_vertices() > 0
+
+    path = os.path.join(tmp_path, "map.vxblx")
+    srv.save_map(path)
+    srv2 = EsdfServer(
+        map_config=MapConfig(voxel_size=0.2, max_blocks=1024),
+    )
+    srv2.load_map(path)
+    assert int(srv2.layer.num_blocks) == int(srv.layer.num_blocks)
+    from voxblox_tpu.utils import evaluation
+    assert evaluation.count_observed(srv2.esdf_layer) == (
+        evaluation.count_observed(srv.esdf_layer)
+    )
+    stats = srv.stats()
+    assert stats["num_scans"] == 1
+
+
+def test_transform_layer_identity_and_shift():
+    w = _world()
+    objs = w.freeze()
+    src = sw.generate_gt_layer(
+        objs, "tsdf", 0.2, (-2.0, -2.0, 0.0), (2.0, 2.0, 3.0),
+        max_dist=0.8, vps=8, max_blocks=1024,
+    )
+    # Pure translation by exactly one block: values should transport.
+    T = (jnp.eye(3), jnp.asarray([1.6, 0.0, 0.0]))
+    out, overflow = vtransform.transform_layer(src, T, max_blocks=2048)
+    assert not bool(overflow)
+    q = jnp.asarray([[0.3, 0.3, 2.0]], jnp.float32)
+    d_src, ok1 = __import__(
+        "voxblox_tpu.ops.interp", fromlist=["interpolate"]
+    ).interpolate(src, q)
+    d_out, ok2 = __import__(
+        "voxblox_tpu.ops.interp", fromlist=["interpolate"]
+    ).interpolate(out, q + jnp.asarray([[1.6, 0.0, 0.0]]))
+    assert bool(ok1[0]) and bool(ok2[0])
+    np.testing.assert_allclose(float(d_src[0]), float(d_out[0]), atol=1e-3)
+
+
+def test_merge_layers():
+    w = _world()
+    objs = w.freeze()
+    a = sw.generate_gt_layer(
+        objs, "tsdf", 0.2, (-2.0, -2.0, 0.0), (0.0, 2.0, 2.0),
+        max_dist=0.8, vps=8, max_blocks=512,
+    )
+    b = sw.generate_gt_layer(
+        objs, "tsdf", 0.2, (0.0, -2.0, 0.0), (2.0, 2.0, 2.0),
+        max_dist=0.8, vps=8, max_blocks=512,
+    )
+    merged, overflow = vtransform.merge_layers(a, b)
+    assert not bool(overflow)
+    from voxblox_tpu.utils import evaluation
+    na = evaluation.count_observed(a)
+    nm = evaluation.count_observed(merged)
+    assert nm > na
+
+
+def test_clear_and_fill_spheres():
+    layer = vlayer.make_layer("esdf", 0.2, vps=8, max_blocks=512)
+    cfg = EsdfIntegratorConfig(
+        clear_sphere_radius=1.0, occupied_sphere_radius=2.0,
+        default_distance_m=2.0,
+    )
+    layer, overflow = planning.add_new_robot_position(
+        layer, jnp.asarray([0.0, 0.0, 0.0]), cfg
+    )
+    assert not bool(overflow)
+    inner = grid.point_to_grid_index(jnp.asarray([[0.2, 0.0, 0.0]]), 5.0)
+    outer = grid.point_to_grid_index(jnp.asarray([[0.0, 1.6, 0.0]]), 5.0)
+    d_in, f1 = vlayer.get_voxels(layer, "esdf", inner)
+    d_out, f2 = vlayer.get_voxels(layer, "esdf", outer)
+    assert bool(f1[0]) and bool(f2[0])
+    assert float(d_in[0]) > 1.9  # free
+    assert float(d_out[0]) < -1.9  # occupied crust

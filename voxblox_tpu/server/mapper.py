@@ -1,0 +1,431 @@
+"""Mapper services: the ROS-free equivalents of the reference server layer.
+
+- ``TsdfServer``  <- voxblox_ros TsdfServer (tsdf_server.{h,cc}): consumes
+  posed point clouds, optional ICP pose refinement, TSDF integration,
+  periodic meshing, distant-block pruning, save/load/clear services.
+- ``EsdfServer``  <- EsdfServer (esdf_server.{h,cc}): adds incremental or
+  batch ESDF updates, clear spheres on new poses, multi-layer map files.
+- ``IntensityServer`` <- intensity_server.{h,cc}: projects intensity
+  images/bearing sets onto the TSDF surface.
+- ``SimulationServer`` <- simulation_server.cc: the self-contained
+  end-to-end synthetic benchmark (render -> integrate -> esdf -> evaluate).
+
+Instead of ROS topics/TF, inputs arrive as explicit (pose, points, colors)
+calls or dataset iterators; "publishing" maps to PLY/npz artifact dumps.
+Per-stage timers use the reference tag taxonomy (utils/timing.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import layer as vlayer
+from ..core.config import (
+    EsdfIntegratorConfig,
+    IcpConfig,
+    MapConfig,
+    MeshIntegratorConfig,
+    TsdfIntegratorConfig,
+)
+from ..io import layer_io, npz_io, ply
+from ..ops import esdf as esdf_ops
+from ..ops import icp as icp_ops
+from ..ops import intensity as intensity_ops
+from ..ops import mesh as mesh_ops
+from ..ops import tsdf as tsdf_ops
+from ..utils import planning, timing
+
+
+class TsdfServer:
+    """Point-cloud -> TSDF mapping service (tsdf_server.cc)."""
+
+    def __init__(
+        self,
+        map_config: MapConfig = MapConfig(),
+        integrator_config: TsdfIntegratorConfig = TsdfIntegratorConfig(),
+        mesh_config: MeshIntegratorConfig = MeshIntegratorConfig(),
+        method: str = "fast",
+        enable_icp: bool = False,
+        icp_config: IcpConfig = IcpConfig(),
+        max_block_distance_from_body: float = 0.0,
+        max_points: Optional[int] = None,
+    ):
+        self.map_config = map_config
+        self.cfg = integrator_config
+        self.mesh_config = mesh_config
+        self.method = method
+        self.enable_icp = enable_icp
+        self.icp_config = icp_config
+        self.max_block_distance = max_block_distance_from_body
+        self.max_points = max_points
+        self.layer = vlayer.make_layer(
+            "tsdf",
+            map_config.voxel_size,
+            vps=map_config.voxels_per_side,
+            max_blocks=map_config.max_blocks,
+            table_capacity=map_config.table_capacity,
+        )
+        self.fast_state = tsdf_ops.make_fast_state()
+        self.mesh_layer = mesh_ops.MeshLayer(self.layer.block_size)
+        self.num_scans = 0
+        self.icp_corrected = (jnp.eye(3), jnp.zeros(3))
+
+    # -- input path (processPointCloudMessageAndInsert, :213-323) ----------
+    def _pad(self, points, colors):
+        n = points.shape[0]
+        cap = self.max_points or n
+        if n < cap:
+            pad = cap - n
+            points = jnp.concatenate(
+                [points, jnp.zeros((pad, 3), jnp.float32)]
+            )
+            colors = jnp.concatenate(
+                [colors, jnp.zeros((pad, 3), jnp.float32)]
+            )
+        elif n > cap:
+            points, colors = points[:cap], colors[:cap]
+        return points, colors
+
+    def insert_pointcloud(self, T_G_C, points_C, colors=None):
+        """Integrate one posed scan. Returns the (possibly ICP-refined)
+        pose actually used."""
+        points_C = jnp.asarray(points_C, jnp.float32)
+        if colors is None:
+            colors = jnp.zeros_like(points_C)
+        colors = jnp.asarray(colors, jnp.float32)
+        points_C, colors = self._pad(points_C, colors)
+        if not isinstance(T_G_C, tuple):
+            T_G_C = (jnp.asarray(T_G_C[:3, :3]), jnp.asarray(T_G_C[:3, 3]))
+
+        if self.enable_icp and self.num_scans > 0:
+            with timing.timer("icp"):
+                res = icp_ops.run_icp(
+                    self.layer, points_C, T_G_C, self.icp_config
+                )
+                T_G_C = (res.R, res.t)
+                self.icp_corrected = T_G_C
+
+        with timing.timer(f"integrate/{self.method}"):
+            self.layer, self.fast_state, overflow = (
+                tsdf_ops.integrate_pointcloud(
+                    self.layer,
+                    T_G_C,
+                    points_C,
+                    colors,
+                    self.cfg,
+                    method=self.method,
+                    state=self.fast_state,
+                )
+            )
+            jax.block_until_ready(self.layer.channels["tsdf"])
+        if bool(overflow):
+            raise MemoryError(
+                "block pool overflow; increase MapConfig.max_blocks"
+            )
+
+        if self.max_block_distance > 0.0:
+            with timing.timer("remove_distant_blocks"):
+                self.layer = vlayer.remove_distant_blocks(
+                    self.layer, T_G_C[1], self.max_block_distance
+                )
+                self.mesh_layer.clear_distant(
+                    np.asarray(T_G_C[1]), self.max_block_distance
+                )
+        self.num_scans += 1
+        return T_G_C
+
+    # -- services (tsdf_server.cc:115-127, :580-618) ----------------------
+    def update_mesh(self):
+        with timing.timer("mesh/update"):
+            self.layer = mesh_ops.generate_mesh(
+                self.layer, self.mesh_layer, self.mesh_config,
+                only_updated=True,
+            )
+
+    def generate_mesh(self, path: Optional[str] = None):
+        """Full re-mesh (+ optional PLY export, generate_mesh service)."""
+        with timing.timer("mesh/generate"):
+            self.layer = mesh_ops.generate_mesh(
+                self.layer, self.mesh_layer, self.mesh_config,
+                only_updated=False,
+            )
+        if path:
+            ply.mesh_layer_to_ply(self.mesh_layer, path)
+        return self.mesh_layer
+
+    def save_map(self, path: str):
+        if path.endswith(".npz"):
+            npz_io.save_npz(self.layer, path)
+        else:
+            layer_io.save_layer(self.layer, path)
+
+    def load_map(self, path: str):
+        if path.endswith(".npz"):
+            self.layer = npz_io.load_npz(path)
+        else:
+            self.layer = layer_io.load_layer(
+                path, "tsdf", max_blocks=self.map_config.max_blocks
+            )
+
+    def clear(self):
+        self.layer = vlayer.make_layer(
+            "tsdf",
+            self.map_config.voxel_size,
+            vps=self.map_config.voxels_per_side,
+            max_blocks=self.map_config.max_blocks,
+        )
+        self.mesh_layer = mesh_ops.MeshLayer(self.layer.block_size)
+        self.fast_state = tsdf_ops.make_fast_state()
+        self.num_scans = 0
+
+    def stats(self):
+        return {
+            "num_scans": self.num_scans,
+            "num_blocks": int(self.layer.num_blocks),
+            "memory_bytes": self.layer.memory_bytes(),
+            "timing": timing.as_dict(),
+        }
+
+
+class EsdfServer(TsdfServer):
+    """TsdfServer + incremental ESDF (esdf_server.{h,cc})."""
+
+    def __init__(
+        self,
+        map_config: MapConfig = MapConfig(),
+        integrator_config: TsdfIntegratorConfig = TsdfIntegratorConfig(),
+        esdf_config: EsdfIntegratorConfig = EsdfIntegratorConfig(),
+        clear_sphere_for_planning: bool = False,
+        **kw,
+    ):
+        super().__init__(map_config, integrator_config, **kw)
+        self.esdf_cfg = esdf_config
+        self.clear_sphere_for_planning = clear_sphere_for_planning
+        self.esdf_layer = vlayer.make_layer(
+            "esdf",
+            map_config.voxel_size,
+            vps=map_config.voxels_per_side,
+            max_blocks=map_config.max_blocks,
+        )
+
+    def insert_pointcloud(self, T_G_C, points_C, colors=None):
+        T = super().insert_pointcloud(T_G_C, points_C, colors)
+        if self.clear_sphere_for_planning:
+            # newPoseCallback -> addNewRobotPosition (esdf_server.cc:222-231)
+            with timing.timer("esdf/clear_radius"):
+                self.esdf_layer, _ = planning.add_new_robot_position(
+                    self.esdf_layer, jnp.asarray(T[1]), self.esdf_cfg
+                )
+        return T
+
+    def update_esdf(self):
+        """Incremental ESDF update (esdf_server.cc:192-197)."""
+        with timing.timer("esdf/update_esdf"):
+            self.esdf_layer, self.layer, overflow, iters = (
+                esdf_ops.update_from_tsdf_incremental(
+                    self.esdf_layer, self.layer, self.esdf_cfg
+                )
+            )
+            jax.block_until_ready(self.esdf_layer.channels["esdf"])
+        if bool(overflow):
+            raise MemoryError("ESDF pool overflow")
+        return int(iters)
+
+    def update_esdf_batch(self):
+        with timing.timer("esdf/update_esdf_batch"):
+            self.esdf_layer, overflow, iters = esdf_ops.update_from_tsdf_batch(
+                self.esdf_layer, self.layer, self.esdf_cfg
+            )
+            jax.block_until_ready(self.esdf_layer.channels["esdf"])
+        if bool(overflow):
+            raise MemoryError("ESDF pool overflow")
+        return int(iters)
+
+    def save_map(self, path: str):
+        """TSDF + ESDF appended in one file (esdf_server.cc:172-190)."""
+        if path.endswith(".npz"):
+            npz_io.save_npz(self.layer, path)
+            npz_io.save_npz(self.esdf_layer, path + ".esdf.npz")
+        else:
+            layer_io.save_layer(self.layer, path)
+            layer_io.save_layer(self.esdf_layer, path, append=True)
+
+    def load_map(self, path: str):
+        super().load_map(path)
+        if not path.endswith(".npz"):
+            try:
+                self.esdf_layer = layer_io.load_layer(
+                    path, "esdf", max_blocks=self.map_config.max_blocks
+                )
+            except ValueError:
+                # No ESDF layer in file: regenerate (tsdf_to_esdf tool).
+                self.update_esdf_batch()
+
+
+class IntensityServer(EsdfServer):
+    """Thermal projection service (intensity_server.{h,cc})."""
+
+    def __init__(self, *a, intensity_max_distance: float = 30.0,
+                 prop_voxel_radius: int = 2, **kw):
+        super().__init__(*a, **kw)
+        self.intensity_max_distance = intensity_max_distance
+        self.prop_voxel_radius = prop_voxel_radius
+        self.intensity_layer = vlayer.make_layer(
+            "intensity",
+            self.map_config.voxel_size,
+            vps=self.map_config.voxels_per_side,
+            max_blocks=self.map_config.max_blocks,
+        )
+
+    def insert_intensity(self, origin, bearing_vectors, intensities):
+        with timing.timer("intensity/integrate"):
+            self.intensity_layer, hits = (
+                intensity_ops.add_intensity_bearing_vectors(
+                    self.intensity_layer,
+                    self.layer,
+                    jnp.asarray(origin, jnp.float32),
+                    jnp.asarray(bearing_vectors, jnp.float32),
+                    jnp.asarray(intensities, jnp.float32),
+                    max_distance=self.intensity_max_distance,
+                    prop_voxel_radius=self.prop_voxel_radius,
+                )
+            )
+        return int(jnp.sum(hits))
+
+
+class SimulationServer:
+    """End-to-end synthetic benchmark (simulation_server.cc): random
+    viewpoints -> render -> integrate TSDF (+occupancy) -> ESDF (both
+    paths) -> evaluate vs GT."""
+
+    def __init__(
+        self,
+        world,
+        voxel_size: float = 0.1,
+        vps: int = 16,
+        max_blocks: int = 4096,
+        tsdf_config: Optional[TsdfIntegratorConfig] = None,
+        esdf_config: Optional[EsdfIntegratorConfig] = None,
+        method: str = "merged",
+        camera_res=(320, 240),
+        fov_h_deg: float = 90.0,
+        max_dist: float = 10.0,
+        incremental_esdf: bool = True,
+    ):
+        from ..core.config import derive_defaults
+
+        self.world = world
+        self.objects = world.freeze()
+        tcfg, ecfg = derive_defaults(voxel_size, tsdf_config, esdf_config)
+        self.tsdf_cfg = dataclasses.replace(tcfg, max_ray_length_m=max_dist)
+        self.esdf_cfg = esdf_config or ecfg
+        self.method = method
+        self.camera_res = camera_res
+        self.fov = np.deg2rad(fov_h_deg)
+        self.max_dist = max_dist
+        self.incremental_esdf = incremental_esdf
+        self.voxel_size = voxel_size
+        self.tsdf_layer = vlayer.make_layer(
+            "tsdf", voxel_size, vps=vps, max_blocks=max_blocks
+        )
+        self.esdf_layer = vlayer.make_layer(
+            "esdf", voxel_size, vps=vps, max_blocks=max_blocks
+        )
+        self.fast_state = tsdf_ops.make_fast_state()
+
+    def generate_poses(self, n: int, radius: float = 0.8, seed: int = 0):
+        """Random plausible viewpoints looking at the world center
+        (simulation_server.cc:161-197 style)."""
+        from ..sim import world as sw
+
+        rng = np.random.default_rng(seed)
+        lo, hi = self.world.min_bound, self.world.max_bound
+        center = (np.asarray(lo) + np.asarray(hi)) / 2.0
+        poses = []
+        for _ in range(n):
+            # Rejection-sample free-space viewpoints (the reference checks
+            # "plausible" viewpoints the same way, simulation_server.cc:161+).
+            for _attempt in range(64):
+                pos = rng.uniform(lo + 0.05 * (hi - lo), hi - 0.05 * (hi - lo))
+                d, _ = sw.distance_to_point(
+                    self.objects, jnp.asarray(pos, jnp.float32), 1e6
+                )
+                if float(d) > 0.5:
+                    break
+            fwd = center - pos
+            fwd = fwd / np.linalg.norm(fwd)
+            z = fwd
+            aux = np.array([0.0, 0.0, 1.0])
+            if abs(np.dot(z, aux)) > 0.95:
+                aux = np.array([1.0, 0.0, 0.0])
+            x = np.cross(z, aux)
+            x /= np.linalg.norm(x)
+            y = np.cross(z, x)
+            R = np.stack([x, y, z], 1).astype(np.float32)
+            poses.append(
+                (jnp.asarray(R), jnp.asarray(pos, jnp.float32))
+            )
+        return poses
+
+    def integrate_viewpoint(self, pose, noise_key=None, noise_sigma=0.0):
+        from ..sim import world as sw
+
+        with timing.timer("sim/render"):
+            pts_G, colors, valid = sw.pointcloud_from_transform(
+                self.objects, pose, self.camera_res, self.fov, self.max_dist,
+                noise_sigma=noise_sigma, noise_key=noise_key,
+            )
+            pts_C = sw.world_points_to_sensor(pose, pts_G, valid)
+        with timing.timer(f"integrate/{self.method}"):
+            self.tsdf_layer, self.fast_state, overflow = (
+                tsdf_ops.integrate_pointcloud(
+                    self.tsdf_layer, pose, pts_C, colors, self.tsdf_cfg,
+                    method=self.method, state=self.fast_state,
+                )
+            )
+            jax.block_until_ready(self.tsdf_layer.channels["tsdf"])
+        assert not bool(overflow), "pool overflow"
+        if self.incremental_esdf:
+            with timing.timer("esdf/update_esdf"):
+                self.esdf_layer, self.tsdf_layer, overflow, _ = (
+                    esdf_ops.update_from_tsdf_incremental(
+                        self.esdf_layer, self.tsdf_layer, self.esdf_cfg
+                    )
+                )
+                jax.block_until_ready(self.esdf_layer.channels["esdf"])
+
+    def run(self, n_viewpoints: int = 20, seed: int = 0):
+        from ..sim import world as sw
+        from ..utils import evaluation
+
+        for pose in self.generate_poses(n_viewpoints, seed=seed):
+            self.integrate_viewpoint(pose)
+        if not self.incremental_esdf:
+            self.esdf_layer, _, _ = esdf_ops.update_from_tsdf_batch(
+                self.esdf_layer, self.tsdf_layer, self.esdf_cfg
+            )
+        gt_tsdf = sw.generate_gt_layer(
+            self.objects, "tsdf", self.voxel_size, self.world.min_bound,
+            self.world.max_bound,
+            max_dist=self.tsdf_cfg.default_truncation_distance,
+            vps=self.tsdf_layer.vps,
+            max_blocks=2 * self.tsdf_layer.max_blocks,
+        )
+        gt_esdf = sw.generate_gt_layer(
+            self.objects, "esdf", self.voxel_size, self.world.min_bound,
+            self.world.max_bound, max_dist=self.esdf_cfg.max_distance_m,
+            vps=self.esdf_layer.vps, max_blocks=2 * self.esdf_layer.max_blocks,
+        )
+        tsdf_eval = evaluation.evaluate_layers_rmse(
+            gt_tsdf, self.tsdf_layer, ignore_behind_test_surface=True
+        )
+        esdf_eval = evaluation.evaluate_layers_rmse(
+            gt_esdf, self.esdf_layer, ignore_behind_test_surface=True
+        )
+        return {"tsdf": tsdf_eval, "esdf": esdf_eval,
+                "timing": timing.as_dict()}

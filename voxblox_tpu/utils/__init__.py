@@ -1,1 +1,1 @@
-from . import evaluation  # noqa: F401
+from . import camera, color_maps, evaluation, lie, planning, timing  # noqa: F401
