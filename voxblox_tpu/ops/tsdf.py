@@ -174,10 +174,15 @@ def _apply_accumulated(layer, d_w, d_wd, d_wc, d_wcw, trunc, max_weight):
     return dataclasses.replace(layer, channels=channels)
 
 
-def _scatter_and_apply(
-    layer, voxels, mask, sdf, w, colors, cfg, use_color: bool
-):
-    """Scatter per-sample contributions into pool accumulators and apply."""
+def accumulate_contributions(layer, voxels, mask, sdf, w, colors, cfg,
+                             use_color: bool):
+    """Scatter per-sample contributions into flat pool accumulators.
+
+    Returns (d_w, d_wd, d_wc, d_wcw, dirty) — all indexed by flat pool
+    offset; ``dirty`` is a bool[max_blocks] of blocks that received any
+    update. Accumulators are pure sums, so multi-device ray sharding can
+    psum them before ``_apply_accumulated`` (parallel/sharding.py).
+    """
     trunc = cfg.default_truncation_distance
     n_flat = layer.max_blocks * layer.voxels_per_block
     flat, found = vlayer.global_voxel_to_flat(layer, voxels)
@@ -206,17 +211,38 @@ def _scatter_and_apply(
         d_wcw = jnp.zeros((n_flat,), jnp.float32)
         d_wc = jnp.zeros((n_flat, 3), jnp.float32)
 
-    layer = _apply_accumulated(
-        layer, d_w, d_wd, d_wc, d_wcw, trunc, cfg.max_weight
-    )
-
-    # Mark every block that received an update as dirty (the reference sets
-    # block->updated on every visited block, tsdf_integrator.cc:128-133).
     slot = jnp.where(ok, flat // layer.voxels_per_block, layer.max_blocks)
-    flags = layer.block_flags.at[slot.reshape(-1)].set(
-        vlayer.ACTIVE | vlayer.DIRTY_ALL, mode="drop"
+    dirty = jnp.zeros((layer.max_blocks + 1,), bool).at[slot.reshape(-1)].set(
+        True
+    )[:-1]
+    return d_w, d_wd, d_wc, d_wcw, dirty
+
+
+def apply_contributions(layer, d_w, d_wd, d_wc, d_wcw, dirty, cfg):
+    """Renormalize accumulators into the layer + set dirty bits."""
+    layer = _apply_accumulated(
+        layer, d_w, d_wd, d_wc, d_wcw, cfg.default_truncation_distance,
+        cfg.max_weight,
     )
+    rows = jnp.arange(layer.max_blocks)
+    flags = jnp.where(
+        dirty, vlayer.ACTIVE | vlayer.DIRTY_ALL, layer.block_flags
+    ).astype(jnp.uint8)
     return dataclasses.replace(layer, block_flags=flags)
+
+
+def _scatter_and_apply(
+    layer, voxels, mask, sdf, w, colors, cfg, use_color: bool
+):
+    """Scatter per-sample contributions into pool accumulators and apply.
+
+    The mutex-serialized voxel RMW of the reference (tsdf_integrator.h:
+    180-197) becomes one associative reduction + renormalize.
+    """
+    d_w, d_wd, d_wc, d_wcw, dirty = accumulate_contributions(
+        layer, voxels, mask, sdf, w, colors, cfg, use_color
+    )
+    return apply_contributions(layer, d_w, d_wd, d_wc, d_wcw, dirty, cfg)
 
 
 # ---------------------------------------------------------------------------
