@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark: TSDF integration throughput (points/s) on one chip.
+
+Headline metric mirrors BASELINE.md's derived north-star: the reference's
+fast integrator at 5 cm voxels does ~300k-point Kinect scans in 23 ms on a
+quad-core i7 => ~13 M points/s. We integrate 320x240 (76.8k-point) scans
+from varied viewpoints of the cylinder+ground world (the reference's
+test_sdf_integrators scene) at 5 cm voxels with the fast integrator and
+report steady-state points/s. vs_baseline = ours / 13e6.
+
+Prints ONE JSON line; extra detail goes to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from voxblox_tpu.core import layer as vlayer
+    from voxblox_tpu.core.config import (
+        EsdfIntegratorConfig,
+        TsdfIntegratorConfig,
+    )
+    from voxblox_tpu.ops import esdf as esdf_ops
+    from voxblox_tpu.ops import projective
+    from voxblox_tpu.ops import render as render_ops
+    from voxblox_tpu.ops import tsdf as tsdf_ops
+    from voxblox_tpu.sim import world as sw
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    # Scene: cylinder + ground (test_sdf_integrators.cc world).
+    w = sw.SimulationWorld()
+    w.add_cylinder((0.0, 0.0, 2.0), 2.0, 4.0, color=(0, 255, 0))
+    w.add_ground_level(0.0)
+    objs = w.freeze()
+
+    res = (320, 240)
+    n_points = res[0] * res[1]
+    voxel = 0.05
+    cfg = TsdfIntegratorConfig(
+        default_truncation_distance=4 * voxel, max_ray_length_m=5.0
+    )
+
+    # Pre-render scans from a circle of poses (device arrays). One jitted
+    # function covers render + frame conversion (eager chains are slow to
+    # warm through the remote-compile path).
+    n_poses = 16
+
+    @jax.jit
+    def make_scan(origin, view):
+        R = sw.rotation_from_two_vectors(jnp.asarray([0.0, 0.0, 1.0]), view)
+        pts_G, colors, valid = sw.pointcloud_from_viewpoint(
+            objs, origin, view, res, np.deg2rad(60.0), 8.0
+        )
+        pts_C = sw.world_points_to_sensor((R, origin), pts_G, valid)
+        return R, pts_C, colors
+
+    scans = []
+    for i in range(n_poses):
+        a = 2 * np.pi * i / n_poses
+        pos = jnp.asarray(
+            [4.0 * np.cos(a), 4.0 * np.sin(a), 2.0], jnp.float32
+        )
+        view = jnp.asarray([-np.cos(a), -np.sin(a), 0.0], jnp.float32)
+        R, pts_C, colors = make_scan(pos, view)
+        scans.append((R, pos, pts_C, colors))
+    jax.block_until_ready(scans[-1][2])
+
+    def run_epoch(layer, n_rounds):
+        for _ in range(n_rounds):
+            for R, pos, pts_C, colors in scans:
+                layer, _ = projective.integrate_pointcloud_projective(
+                    layer, (R, pos), pts_C, colors, cfg,
+                    resolution=res, fov_h_rad=np.deg2rad(60.0),
+                )
+        jax.block_until_ready(layer.channels["tsdf"])
+        return layer
+
+    # Warmup (compile + allocate).
+    layer = vlayer.make_layer("tsdf", voxel, vps=16, max_blocks=4096)
+    layer = run_epoch(layer, 1)
+
+    # Steady state: re-integrating a live map from varied viewpoints with
+    # the projective (voxel-centric) integrator — the TPU-native fast path.
+    rounds = 4
+    t0 = time.perf_counter()
+    layer = run_epoch(layer, rounds)
+    dt = time.perf_counter() - t0
+    scans_done = rounds * n_poses
+    points_per_sec = scans_done * n_points / dt
+    ms_per_scan = dt / scans_done * 1e3
+
+    # Secondary numbers (stderr only).
+    ecfg = EsdfIntegratorConfig(
+        max_distance_m=2.0, default_distance_m=2.0, min_distance_m=2 * voxel
+    )
+    esdf_layer = vlayer.make_layer("esdf", voxel, vps=16, max_blocks=4096)
+    esdf_layer, _, _ = esdf_ops.update_from_tsdf_batch(esdf_layer, layer, ecfg)
+    jax.block_until_ready(esdf_layer.channels["esdf"])
+    t0 = time.perf_counter()
+    esdf_layer2, _, iters = esdf_ops.update_from_tsdf_batch(
+        esdf_layer, layer, ecfg
+    )
+    jax.block_until_ready(esdf_layer2.channels["esdf"])
+    esdf_ms = (time.perf_counter() - t0) * 1e3
+
+    n_rays = 65536
+    ang = np.linspace(-0.4, 0.4, n_rays).astype(np.float32)
+    dirs = jnp.asarray(
+        np.stack([np.sin(ang), np.cos(ang), np.zeros(n_rays)], -1)
+    )
+    origins = jnp.broadcast_to(jnp.asarray([0.0, -4.0, 2.0]), dirs.shape)
+    depth, hit = render_ops.render_depth(layer, origins, dirs, 8.0)
+    jax.block_until_ready(depth)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        depth, hit = render_ops.render_depth(layer, origins, dirs, 8.0)
+    jax.block_until_ready(depth)
+    rays_per_sec = 4 * n_rays / (time.perf_counter() - t0)
+
+    print(
+        f"tsdf projective: {ms_per_scan:.3f} ms/scan ({points_per_sec/1e6:.1f} M "
+        f"points/s); esdf batch: {esdf_ms:.1f} ms ({int(iters)} sweeps); "
+        f"render: {rays_per_sec/1e6:.2f} M rays/s; "
+        f"blocks: {int(layer.num_blocks)}",
+        file=sys.stderr,
+    )
+
+    baseline = 13e6  # reference fast integrator, 5 cm (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "tsdf_integration_points_per_sec",
+                "value": round(points_per_sec),
+                "unit": "points/s",
+                "vs_baseline": round(points_per_sec / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

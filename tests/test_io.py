@@ -143,3 +143,42 @@ def test_ply_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(got["vertices"], verts, rtol=1e-6)
     np.testing.assert_array_equal(got["colors"], colors)
     np.testing.assert_array_equal(got["faces"], faces)
+
+
+def test_native_codec_matches_numpy(rng):
+    """csrc/voxel_codec.cc must agree bit-for-bit with the numpy packer."""
+    from voxblox_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable (no g++?)")
+    for layer_type in ["tsdf", "esdf", "occupancy", "intensity"]:
+        layer = _random_layer(rng, layer_type, vps=4, n_blocks=3)
+        channels = {k: np.asarray(v) for k, v in layer.channels.items()}
+        if layer_type == "tsdf":
+            c = np.round(channels["color"]).astype(np.float32)
+            channels["color"] = c
+        row = int(np.nonzero(np.asarray(layer.active_mask()))[0][0])
+        nat = native.pack_voxels(layer_type, channels, row)
+        ref = layer_io.pack_voxels.__wrapped__(layer_type, channels, row) if \
+            hasattr(layer_io.pack_voxels, "__wrapped__") else None
+        # Compare against the numpy implementation by disabling native.
+        import voxblox_tpu.io.native as nmod
+        saved = nmod._lib
+        nmod._lib = None
+        try:
+            ref = layer_io.pack_voxels(layer_type, channels, row)
+        finally:
+            nmod._lib = saved
+        np.testing.assert_array_equal(nat, ref)
+        # Unpack round trip.
+        vpb = 4**3
+        nat_u = native.unpack_voxels(layer_type, nat, vpb)
+        nmod._lib = None
+        try:
+            ref_u = layer_io.unpack_voxels(layer_type, nat, vpb)
+        finally:
+            nmod._lib = saved
+        for k in ref_u:
+            np.testing.assert_array_equal(
+                np.asarray(nat_u[k]), np.asarray(ref_u[k]), err_msg=f"{layer_type}/{k}"
+            )

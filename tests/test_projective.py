@@ -1,0 +1,123 @@
+"""Projective integrator: accuracy vs GT and consistency vs the DDA path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxblox_tpu.core import layer as vlayer
+from voxblox_tpu.core.config import TsdfIntegratorConfig
+from voxblox_tpu.ops import projective, tsdf
+from voxblox_tpu.sim import world as sw
+from voxblox_tpu.utils import evaluation
+
+VOXEL = 0.10
+TRUNC = 4 * VOXEL
+RES = (80, 60)
+FOV = np.deg2rad(60.0)
+
+
+def _scene():
+    w = sw.SimulationWorld()
+    w.add_cylinder((0.0, 0.0, 2.0), 2.0, 4.0, color=(0, 255, 0))
+    w.add_ground_level(0.0)
+    w.min_bound = np.array([-5.0, -5.0, -0.5], np.float32)
+    w.max_bound = np.array([5.0, 5.0, 5.5], np.float32)
+    return w, w.freeze()
+
+
+def _poses(n=8):
+    out = []
+    for i in range(n):
+        a = 2 * np.pi * i / n
+        pos = np.array([4.0 * np.cos(a), 4.0 * np.sin(a), 2.0])
+        z = -np.array([np.cos(a), np.sin(a), 0.0])
+        x = np.cross(z, [0, 0, 1.0]); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        out.append((jnp.asarray(np.stack([x, y, z], 1), jnp.float32),
+                    jnp.asarray(pos, jnp.float32)))
+    return out
+
+
+def _scan(objs, pose):
+    pts_G, colors, valid = sw.pointcloud_from_transform(
+        objs, pose, RES, FOV, max_dist=10.0
+    )
+    return sw.world_points_to_sensor(pose, pts_G, valid), colors
+
+
+def test_projective_accuracy_vs_gt():
+    w, objs = _scene()
+    cfg = TsdfIntegratorConfig(
+        default_truncation_distance=TRUNC, max_ray_length_m=10.0
+    )
+    layer = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    for pose in _poses():
+        pts_C, colors = _scan(objs, pose)
+        layer, overflow = projective.integrate_pointcloud_projective(
+            layer, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=FOV
+        )
+        assert not bool(overflow)
+    gt = sw.generate_gt_layer(
+        objs, "tsdf", VOXEL, w.min_bound, w.max_bound, max_dist=TRUNC,
+        vps=16, max_blocks=4096,
+    )
+    det = evaluation.evaluate_layers_rmse(gt, layer,
+                                          ignore_behind_test_surface=True)
+    print("projective vs gt:", det)
+    assert det.num_evaluated_voxels > 10000
+    assert det.rmse < 2 * VOXEL, str(det)
+    assert det.max_error < 4 * TRUNC + 1e-6
+
+
+def test_projective_vs_simple_consistency():
+    w, objs = _scene()
+    cfg = TsdfIntegratorConfig(
+        default_truncation_distance=TRUNC, max_ray_length_m=10.0
+    )
+    proj = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    simp = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    for pose in _poses(4):
+        pts_C, colors = _scan(objs, pose)
+        proj, _ = projective.integrate_pointcloud_projective(
+            proj, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=FOV
+        )
+        simp, _, _ = tsdf.integrate_pointcloud(
+            simp, pose, pts_C, colors, cfg, method="simple"
+        )
+    det = evaluation.evaluate_layers_rmse(simp, proj)
+    print("projective vs simple:", det)
+    n_s = evaluation.count_observed(simp)
+    n_p = evaluation.count_observed(proj)
+    # Total coverage within 30% (projective's conservative carving skips the
+    # silhouette-uncertain free-space shell the DDA rays do touch), distances
+    # on the overlap close, and near-surface coverage nearly complete.
+    assert abs(n_s - n_p) / n_s < 0.30, (n_s, n_p)
+    assert det.rmse < VOXEL, str(det)
+    import numpy as _np
+    vpb = simp.voxels_per_block
+    slots = _np.asarray(vlayer.lookup_blocks(proj, simp.block_ijk))
+    ok = _np.asarray(simp.active_mask()) & (slots >= 0)
+    sw = _np.asarray(simp.channels["weight"]).reshape(-1, vpb)[ok]
+    sd = _np.asarray(simp.channels["tsdf"]).reshape(-1, vpb)[ok]
+    pw = _np.asarray(proj.channels["weight"]).reshape(-1, vpb)[slots[ok]]
+    near = (sw > 1e-6) & (_np.abs(sd) < TRUNC / 2)
+    coverage = (near & (pw > 1e-6)).sum() / max(near.sum(), 1)
+    assert coverage > 0.85, coverage
+
+
+def test_range_image_binning():
+    pts = jnp.asarray(
+        [[0.0, 0.0, 2.0], [0.5, 0.0, 2.0], [0.0, 0.0, 4.0]], jnp.float32
+    )
+    cols = jnp.asarray([[255, 0, 0], [0, 255, 0], [0, 0, 255]], jnp.float32)
+    img = projective.build_pinhole_range_image(
+        pts, cols, (32, 24), np.deg2rad(60.0)
+    )
+    rng = np.asarray(img.rng)
+    # Center pixel (cx = w/2 = 16): two points project there; min range
+    # (2.0) wins over the farther one (4.0) along the same ray.
+    cu, cv = 16, 12
+    assert abs(rng[cv, cu] - 2.0) < 1e-5
+    color = np.asarray(img.color)
+    assert color[cv, cu, 0] == 255

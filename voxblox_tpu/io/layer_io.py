@@ -87,7 +87,15 @@ def read_delimited(f, msg_cls):
 
 
 def pack_voxels(layer_type: str, channels: dict, row: int) -> np.ndarray:
-    """Pool row -> uint32[vpb * words_per_voxel] in linear voxel order."""
+    """Pool row -> uint32[vpb * words_per_voxel] in linear voxel order.
+
+    Uses the native codec (csrc/voxel_codec.cc via io/native.py) when
+    available; the numpy path below is the reference implementation."""
+    from . import native
+
+    out = native.pack_voxels(layer_type, channels, row)
+    if out is not None:
+        return out
     if layer_type == "tsdf":
         d = np.asarray(channels["tsdf"][row], np.float32).reshape(-1)
         w = np.asarray(channels["weight"][row], np.float32).reshape(-1)
@@ -149,6 +157,11 @@ def pack_voxels(layer_type: str, channels: dict, row: int) -> np.ndarray:
 
 def unpack_voxels(layer_type: str, words: np.ndarray, vpb: int) -> dict:
     """uint32 words -> dict of flat [vpb] channel arrays."""
+    from . import native
+
+    out = native.unpack_voxels(layer_type, np.asarray(words, np.uint32), vpb)
+    if out is not None:
+        return out
     if layer_type == "tsdf":
         w = words.reshape(vpb, 3)
         rgba = w[:, 2]

@@ -1,0 +1,196 @@
+"""Command-line tools — equivalents of the reference's standalone binaries:
+
+- ``sim-bench``   <- SimulationServer + simulation_eval.cc: synthetic
+  end-to-end benchmark (render -> integrate -> ESDF -> evaluate vs GT).
+- ``eval``        <- voxblox_eval.cc: load a .vxblx map + GT cloud (PLY),
+  report interpolated per-point error statistics.
+- ``mesh``        <- visualize_tsdf.cc: load a .vxblx map, extract the
+  marching-cubes mesh, write PLY.
+- ``tsdf-to-esdf``<- test/tsdf_to_esdf.cc: offline ESDF regeneration.
+- ``info``        : print layer headers of a map file.
+
+Usage: ``python -m voxblox_tpu.server.cli <subcommand> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def cmd_sim_bench(args):
+    import jax.numpy as jnp
+
+    from ..server.mapper import SimulationServer
+    from ..sim import world as sw
+    from ..utils import timing
+
+    w = sw.SimulationWorld()
+    w.add_cylinder((0.0, 0.0, 2.0), 2.0, 4.0, color=(0, 255, 0))
+    w.add_ground_level(0.0)
+    w.min_bound = np.array([-5.0, -5.0, -0.5], np.float32)
+    w.max_bound = np.array([5.0, 5.0, 5.5], np.float32)
+    srv = SimulationServer(
+        w,
+        voxel_size=args.voxel_size,
+        method=args.method,
+        camera_res=(args.width, args.height),
+        max_blocks=args.max_blocks,
+        incremental_esdf=not args.batch_esdf,
+    )
+    result = srv.run(n_viewpoints=args.viewpoints, seed=args.seed)
+    print("TSDF:", result["tsdf"])
+    print("ESDF:", result["esdf"])
+    print(timing.print_timing())
+    if args.output_mesh:
+        from ..ops import mesh as mesh_ops
+        from ..io import ply
+
+        ml = mesh_ops.MeshLayer(srv.tsdf_layer.block_size)
+        mesh_ops.generate_mesh(srv.tsdf_layer, ml, only_updated=False)
+        ply.mesh_layer_to_ply(ml, args.output_mesh)
+        print(f"mesh written to {args.output_mesh}")
+    if args.output_map:
+        from ..io import layer_io
+
+        layer_io.save_layer(srv.tsdf_layer, args.output_map)
+        layer_io.save_layer(srv.esdf_layer, args.output_map, append=True)
+        print(f"map written to {args.output_map}")
+    return 0
+
+
+def cmd_eval(args):
+    """voxblox_eval.cc: interpolated map distance at GT surface points
+    should be ~0; report abs-error statistics."""
+    import jax.numpy as jnp
+
+    from ..io import layer_io, ply
+    from ..ops import interp
+
+    layer = layer_io.load_layer(args.map, "tsdf", max_blocks=args.max_blocks)
+    gt = ply.read_ply(args.gt_ply)
+    pts = jnp.asarray(gt["vertices"], jnp.float32)
+    d, valid = interp.interpolate(layer, pts)
+    d, valid = np.asarray(d), np.asarray(valid)
+    err = np.abs(d[valid])
+    stats = {
+        "num_points": int(len(pts)),
+        "num_evaluated": int(valid.sum()),
+        "mean_abs_error": float(err.mean()) if len(err) else None,
+        "rmse": float(np.sqrt((err**2).mean())) if len(err) else None,
+        "max_abs_error": float(err.max()) if len(err) else None,
+    }
+    print(json.dumps(stats, indent=2))
+    return 0
+
+
+def cmd_mesh(args):
+    from ..io import layer_io, ply
+    from ..ops import mesh as mesh_ops
+
+    layer = layer_io.load_layer(args.map, "tsdf", max_blocks=args.max_blocks)
+    ml = mesh_ops.MeshLayer(layer.block_size)
+    mesh_ops.generate_mesh(layer, ml, only_updated=False)
+    ply.mesh_layer_to_ply(ml, args.output, connected=not args.soup)
+    print(f"{ml.num_vertices()} vertices -> {args.output}")
+    return 0
+
+
+def cmd_tsdf_to_esdf(args):
+    from ..core import layer as vlayer
+    from ..core.config import EsdfIntegratorConfig
+    from ..io import layer_io
+    from ..ops import esdf as esdf_ops
+
+    tsdf_layer = layer_io.load_layer(
+        args.input, "tsdf", max_blocks=args.max_blocks
+    )
+    cfg = EsdfIntegratorConfig(
+        max_distance_m=args.max_distance, default_distance_m=args.max_distance
+    )
+    esdf_layer = vlayer.make_layer(
+        "esdf", tsdf_layer.voxel_size, vps=tsdf_layer.vps,
+        max_blocks=tsdf_layer.max_blocks,
+    )
+    esdf_layer, overflow, iters = esdf_ops.update_from_tsdf_batch(
+        esdf_layer, tsdf_layer, cfg
+    )
+    assert not bool(overflow)
+    layer_io.save_layer(tsdf_layer, args.output)
+    layer_io.save_layer(esdf_layer, args.output, append=True)
+    print(f"esdf computed in {int(iters)} sweeps -> {args.output}")
+    return 0
+
+
+def cmd_info(args):
+    from ..io import layer_io
+
+    with open(args.map, "rb") as f:
+        while True:
+            count = layer_io._read_varint32(f)
+            if count is None:
+                break
+            hdr = layer_io.read_delimited(f, layer_io.LayerProto)
+            if hdr is None:
+                break
+            print(
+                f"layer type={hdr.type} voxel_size={hdr.voxel_size} "
+                f"vps={hdr.voxels_per_side} blocks={count - 1}"
+            )
+            for _ in range(count - 1):
+                layer_io.read_delimited(f, layer_io.BlockProto)
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="voxblox_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sb = sub.add_parser("sim-bench", help="synthetic end-to-end benchmark")
+    sb.add_argument("--voxel-size", type=float, default=0.1)
+    sb.add_argument("--method", default="merged",
+                    choices=["simple", "merged", "fast"])
+    sb.add_argument("--viewpoints", type=int, default=20)
+    sb.add_argument("--width", type=int, default=320)
+    sb.add_argument("--height", type=int, default=240)
+    sb.add_argument("--max-blocks", type=int, default=4096)
+    sb.add_argument("--seed", type=int, default=0)
+    sb.add_argument("--batch-esdf", action="store_true")
+    sb.add_argument("--output-mesh", default=None)
+    sb.add_argument("--output-map", default=None)
+    sb.set_defaults(fn=cmd_sim_bench)
+
+    ev = sub.add_parser("eval", help="evaluate a map against a GT PLY cloud")
+    ev.add_argument("map")
+    ev.add_argument("gt_ply")
+    ev.add_argument("--max-blocks", type=int, default=8192)
+    ev.set_defaults(fn=cmd_eval)
+
+    me = sub.add_parser("mesh", help="extract mesh from a .vxblx map")
+    me.add_argument("map")
+    me.add_argument("output")
+    me.add_argument("--soup", action="store_true",
+                    help="raw triangle soup (no vertex welding)")
+    me.add_argument("--max-blocks", type=int, default=8192)
+    me.set_defaults(fn=cmd_mesh)
+
+    te = sub.add_parser("tsdf-to-esdf", help="offline ESDF regeneration")
+    te.add_argument("input")
+    te.add_argument("output")
+    te.add_argument("--max-distance", type=float, default=2.0)
+    te.add_argument("--max-blocks", type=int, default=8192)
+    te.set_defaults(fn=cmd_tsdf_to_esdf)
+
+    inf = sub.add_parser("info", help="print layer headers of a map file")
+    inf.add_argument("map")
+    inf.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
