@@ -192,3 +192,24 @@ def test_esdf_batch_vs_incremental_and_gt():
     print("esdf vs gt:", det)
     assert det.num_evaluated_voxels > 10000
     assert det.rmse < 2 * VOXEL, str(det)
+
+
+def test_compacted_sweep_matches_full():
+    """max_active_blocks compaction must not change the fixpoint."""
+    tsdf_layer = _plane_tsdf_layer()
+    esdf_full = vlayer.make_layer("esdf", VOXEL, vps=8, max_blocks=512)
+    cfg_full = EsdfIntegratorConfig(
+        max_distance_m=2.0, default_distance_m=2.0, min_distance_m=0.2
+    )
+    esdf_full, _, _ = esdf.update_from_tsdf_batch(esdf_full, tsdf_layer,
+                                                  cfg_full)
+    cfg_c = EsdfIntegratorConfig(
+        max_distance_m=2.0, default_distance_m=2.0, min_distance_m=0.2,
+        max_active_blocks=128,
+    )
+    esdf_c = vlayer.make_layer("esdf", VOXEL, vps=8, max_blocks=512)
+    esdf_c, _, _ = esdf.update_from_tsdf_batch(esdf_c, tsdf_layer, cfg_c)
+    from voxblox_tpu.utils import evaluation
+    det = evaluation.evaluate_layers_rmse(esdf_full, esdf_c)
+    assert det.num_evaluated_voxels > 10000
+    assert det.rmse < 1e-5, str(det)

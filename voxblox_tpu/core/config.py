@@ -74,6 +74,10 @@ class EsdfIntegratorConfig:
     inner_sweeps: int = 4
     # Hard cap on outer sweep iterations per update (convergence guard).
     max_outer_sweeps: int = 64
+    # Static budget of pool rows materialized per sweep (None = whole
+    # pool). Sweep work scales with this, not with max_blocks; rows beyond
+    # the budget are reported via the overflow flag.
+    max_active_blocks: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,7 +14,7 @@ data-parallel *sweeps*:
 - **Lower sweep**: masked Bellman-Ford over the 26-neighborhood with
   quasi-Euclidean edge lengths voxel_size * {1, sqrt2, sqrt3}
   (neighbor_tools.h distances), iterated to convergence. Positive and
-  negative sides relax独立ly (min outside / max inside), with the
+  negative sides relax independently (min outside / max inside), with the
   reference's sign-flip rule (cc:458-496) applied per sweep.
 - **Raise**: instead of parent-pointer BFS, voxels whose support
   disappeared are handled by *resetting every non-fixed voxel within the
@@ -291,7 +291,12 @@ def lower_sweep(
     region_rows=None,
 ):
     """Relax to convergence. region_rows: bool[max_blocks] rows allowed to
-    change (None = all active rows). Returns (layer, outer_iters)."""
+    change (None = all active rows). Returns (layer, outer_iters).
+
+    With ``cfg.max_active_blocks`` set, the sweep materializes only the
+    region rows plus their 1-ring neighbor sources in a compact working
+    set, so per-sweep cost scales with the active map, not the pool.
+    """
     v = esdf_layer.vps
     mb = esdf_layer.max_blocks
     nbr = neighbor_slot_table(esdf_layer)
@@ -300,52 +305,129 @@ def lower_sweep(
         region_rows = active
     region_rows = region_rows & active
 
-    flags = esdf_layer.channels["esdf_flags"]
+    k = cfg.max_active_blocks
+    if k is None or k >= mb:
+        return _sweep_on(
+            esdf_layer, esdf_layer.channels["esdf"],
+            esdf_layer.channels["esdf_flags"], nbr, region_rows, cfg,
+            write_back_rows=None,
+        )
+
+    # Compact working set: region rows + their neighbor sources.
+    in_set = region_rows
+    nbr_of_region = jnp.zeros((mb + 1,), bool).at[
+        jnp.where(region_rows[:, None], nbr, mb)
+    ].set(True)[:-1]
+    in_set = (in_set | nbr_of_region) & active
+    rows = jnp.nonzero(in_set, size=k, fill_value=-1)[0]
+    r_ok = rows >= 0
+    safe = jnp.where(r_ok, rows, 0)
+    inv = jnp.full((mb + 1,), -1, jnp.int32).at[
+        jnp.where(r_ok, rows, mb)
+    ].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
+    # Remap neighbor slots to compact indices.
+    nbr_c = inv[jnp.where(nbr >= 0, nbr, mb)][safe]  # [k, 27]
+    nbr_c = jnp.where(r_ok[:, None], nbr_c, -1)
+
+    d_c = esdf_layer.channels["esdf"][safe]
+    f_c = esdf_layer.channels["esdf_flags"][safe]
+    f_c = jnp.where(r_ok[:, None, None, None], f_c, np.uint8(0))
+    region_c = region_rows[safe] & r_ok
+
+    out_layer, iters = _sweep_on(
+        esdf_layer, d_c, f_c, nbr_c, region_c, cfg,
+        write_back_rows=(rows, r_ok),
+    )
+    return out_layer, iters
+
+
+def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
+              write_back_rows):
+    """Core relaxation loop over arrays d/flags [N, v, v, v] with neighbor
+    table nbr [N, 27] indexing the SAME arrays (-1 missing). If
+    write_back_rows is (rows, ok), results scatter back into the layer."""
     obs = (flags & OBS) != 0
     fixed = (flags & FIX) != 0
     upd_mask = obs & ~fixed & region_rows[:, None, None, None]
     obs_f = obs.astype(jnp.float32)
-    fix_f = fixed.astype(jnp.float32)
+
+    view = dataclasses.replace(
+        esdf_layer,
+        channels={"esdf": d, "esdf_flags": flags,
+                  "parent": esdf_layer.channels["parent"][:1]},
+    )
+    # build_padded reads vps + uses row count from the value array.
 
     def outer_cond(state):
-        d, changed, it = state
+        dd, changed, it = state
         return changed & (it < cfg.max_outer_sweeps)
 
     def outer_body(state):
-        d, _, it = state
-        d_pad = build_padded(esdf_layer, d, nbr, jnp.float32(0.0))
-        obs_pad = build_padded(esdf_layer, obs_f, nbr, jnp.float32(0.0)) > 0.5
-        # Sources must be within max_distance (processOpenSet skip rule).
+        dd, _, it = state
+        d_pad = _padded(view, dd, nbr, jnp.float32(0.0))
+        obs_pad = _padded(view, obs_f, nbr, jnp.float32(0.0)) > 0.5
         src_pad = obs_pad & (jnp.abs(d_pad) < cfg.max_distance_m)
-        d0 = d
+        d0 = dd
 
-        def inner(i, dd):
+        def inner(i, di):
             return _relax_once(
-                # Center region of the padded array refreshes from dd so
-                # within-block propagation advances every inner sweep;
-                # halo stays stale until the next outer rebuild.
-                d_pad.at[:, 1:-1, 1:-1, 1:-1].set(dd),
-                obs_pad,
-                src_pad,
-                dd,
-                upd_mask,
-                esdf_layer.voxel_size,
-                cfg,
+                d_pad.at[:, 1:-1, 1:-1, 1:-1].set(di),
+                obs_pad, src_pad, di, upd_mask,
+                esdf_layer.voxel_size, cfg,
             )
 
-        d = jax.lax.fori_loop(0, cfg.inner_sweeps, inner, d)
-        changed = jnp.any(jnp.abs(d - d0) > cfg.min_diff_m)
-        return d, changed, it + 1
+        dd = jax.lax.fori_loop(0, cfg.inner_sweeps, inner, dd)
+        changed = jnp.any(jnp.abs(dd - d0) > cfg.min_diff_m)
+        return dd, changed, it + 1
 
-    d = esdf_layer.channels["esdf"]
-    d, _, iters = jax.lax.while_loop(
+    d_out, _, iters = jax.lax.while_loop(
         outer_cond, outer_body, (d, jnp.asarray(True), jnp.int32(0))
     )
-    # Clamp to +-max/default band: values beyond max_distance stay at
-    # sign*default (they were seeded there and sweeps never push beyond).
     ch = dict(esdf_layer.channels)
-    ch["esdf"] = d
+    if write_back_rows is None:
+        ch["esdf"] = d_out
+    else:
+        rows, ok = write_back_rows
+        wr = jnp.where(ok, rows, esdf_layer.max_blocks)
+        ch["esdf"] = ch["esdf"].at[wr].set(
+            d_out, mode="drop", unique_indices=True
+        )
     return dataclasses.replace(esdf_layer, channels=ch), iters
+
+
+def _padded(view_layer, values, nbr, fill):
+    """build_padded variant that takes the row count from ``values`` (the
+    compact working set) rather than the layer's pool size."""
+    n = values.shape[0]
+    v = view_layer.vps
+    ext = jnp.concatenate(
+        [values, jnp.full((1, v, v, v), fill, values.dtype)], axis=0
+    )
+    safe = jnp.where(nbr < 0, n, nbr)
+    padded = jnp.full((n, v + 2, v + 2, v + 2), fill, values.dtype)
+    padded = padded.at[:, 1:-1, 1:-1, 1:-1].set(values)
+
+    def src_slice(o):
+        return slice(v - 1, v) if o == -1 else (
+            slice(0, 1) if o == 1 else slice(0, v))
+
+    def dst_slice(o):
+        return slice(0, 1) if o == -1 else (
+            slice(v + 1, v + 2) if o == 1 else slice(1, v + 1))
+
+    k = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                if (dx, dy, dz) == (0, 0, 0):
+                    k += 1
+                    continue
+                rows = ext[safe[:, k]]
+                padded = padded.at[
+                    :, dst_slice(dz), dst_slice(dy), dst_slice(dx)
+                ].set(rows[:, src_slice(dz), src_slice(dy), src_slice(dx)])
+                k += 1
+    return padded
 
 
 # ---------------------------------------------------------------------------

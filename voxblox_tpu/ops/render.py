@@ -107,14 +107,15 @@ def render_depth(
         max_steps = int(max_distance / vs * 1.4) + 8
 
     def step(_, state):
+        # March on the nearest-voxel field (1 hash lookup per step); the
+        # trilinear field is only sampled once at the end for the Newton
+        # refinement — trilinear-per-step costs ~30 random gathers/step.
         t, done = state
         x = origins + t[:, None] * dirs
-        s, valid = interp.interpolate(layer, x)
-        d_nn, w_nn, found = _nearest_voxel(layer, x)
-        # Conservative march: trilinear sdf where valid, else voxel hop.
-        adv = jnp.where(valid, jnp.maximum(s, 0.35 * vs), vs)
-        adv = jnp.where(found & (w_nn > 1e-6) | ~found, adv, vs)
-        hit_now = valid & (s < 0.35 * vs)
+        s, w_nn, found = _nearest_voxel(layer, x)
+        observed = found & (w_nn > 1e-6)
+        adv = jnp.where(observed, jnp.maximum(s, 0.6 * vs), vs)
+        hit_now = observed & (s < 0.6 * vs)
         t = jnp.where(done | hit_now, t, t + adv)
         done = done | hit_now | (t >= max_distance)
         return t, done
@@ -123,7 +124,15 @@ def render_depth(
     t_raw, done = jax.lax.fori_loop(
         0, max_steps, step, (t0, jnp.zeros(dirs.shape[0], bool))
     )
+    # Two gradient-stopped trilinear refinements pull the stop point into
+    # the correct interpolation cell before the differentiable Newton step.
     t_stop = jax.lax.stop_gradient(t_raw)
+    for _ in range(2):
+        x_r = origins + t_stop[:, None] * dirs
+        s_r, v_r = interp.interpolate(layer, x_r)
+        t_stop = jax.lax.stop_gradient(
+            jnp.where(v_r, t_stop + jnp.clip(s_r, -2 * vs, 2 * vs), t_stop)
+        )
     x_stop = origins + t_stop[:, None] * dirs
     s, g, valid = interp.interpolate_with_gradient(layer, x_stop)
     denom = jnp.sum(jax.lax.stop_gradient(g) * dirs, axis=-1)
