@@ -102,3 +102,47 @@ def test_intensity_splat():
     wgt, _ = vlayer.get_voxels(ilayer, "intensity_weight", q)
     assert bool(found[0]) and float(wgt[0]) > 0
     assert abs(float(val[0]) - 37.0) < 1e-3
+
+
+def test_intensity_image_front_end():
+    w = sw.SimulationWorld()
+    w.add_sphere((0.0, 0.0, 2.0), 1.0)
+    objs = w.freeze()
+    bound = 1.8
+    tsdf_layer = sw.generate_gt_layer(
+        objs, "tsdf", 0.1, (-bound, -bound, 2 - bound),
+        (bound, bound, 2 + bound), max_dist=0.4, vps=8, max_blocks=1024,
+    )
+    from voxblox_tpu.core.config import MapConfig
+    from voxblox_tpu.server import IntensityServer
+    srv = IntensityServer(map_config=MapConfig(voxel_size=0.1, max_blocks=1024))
+    srv.layer = tsdf_layer
+    srv.intensity_layer = vlayer.make_layer("intensity", 0.1, vps=8,
+                                            max_blocks=1024)
+    R = np.asarray(sw.rotation_from_two_vectors(
+        jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray([0.0, 1.0, 0.0])))
+    img = np.full((24, 32), 42.0, np.float32)
+    hits = srv.insert_intensity_image(
+        (R, np.array([0.0, -3.0, 2.0], np.float32)), img,
+        (30.0, 30.0, 16.0, 12.0), subsample=2,
+    )
+    assert hits > 10
+    q = grid.point_to_grid_index(jnp.asarray([[0.0, -1.05, 2.0]]), 10.0)
+    val, found = vlayer.get_voxels(srv.intensity_layer, "intensity", q)
+    assert bool(found[0])
+    assert abs(float(val[0]) - 42.0) < 1e-3
+
+
+def test_mesh_color_modes():
+    from voxblox_tpu.utils import mesh_vis
+    verts = np.array([[0, 0, 0], [1, 0, 1], [0, 1, 2]], np.float32)
+    normals = np.array([[0, 0, 1]] * 3, np.float32)
+    colors = np.array([[10, 20, 30]] * 3, np.uint8)
+    for mode in ["color", "height", "normals", "gray", "lambert",
+                 "lambert_color"]:
+        out = mesh_vis.apply_color_mode(verts, normals, colors, mode)
+        assert out.shape == (3, 3) and out.dtype == np.uint8
+    assert (mesh_vis.apply_color_mode(verts, normals, colors, "color")
+            == colors).all()
+    h = mesh_vis.apply_color_mode(verts, normals, colors, "height")
+    assert (h[0] != h[2]).any()  # height gradient

@@ -297,6 +297,27 @@ class IntensityServer(EsdfServer):
             )
         return int(jnp.sum(hits))
 
+    def insert_intensity_image(self, T_G_C, image, intrinsics,
+                               subsample: int = 4):
+        """Thermal image front end (intensity_server.cc:50-120): subsample
+        pixels, build bearing rays through the intrinsics, rotate to world,
+        splat onto the TSDF surface."""
+        image = np.asarray(image, np.float32)
+        h, w = image.shape
+        fx, fy, cx, cy = intrinsics
+        us, vs = np.meshgrid(
+            np.arange(0, w, subsample), np.arange(0, h, subsample)
+        )
+        rays_C = np.stack(
+            [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float32)],
+            -1,
+        ).reshape(-1, 3).astype(np.float32)
+        rays_C /= np.linalg.norm(rays_C, axis=1, keepdims=True)
+        R, t = T_G_C
+        rays_G = rays_C @ np.asarray(R).T
+        vals = image[vs.astype(int), us.astype(int)].reshape(-1)
+        return self.insert_intensity(t, rays_G, vals)
+
 
 class SimulationServer:
     """End-to-end synthetic benchmark (simulation_server.cc): random

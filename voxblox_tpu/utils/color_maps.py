@@ -10,8 +10,8 @@ def _rainbow(h):
     """h in [0,1] -> rgb float [0,1] (color_maps.h rainbowColorMap)."""
     h = np.clip(np.asarray(h, np.float64), 0.0, 1.0)
     s = h * 6.0
-    i = np.floor(s).astype(int) % 6
-    f = s - np.floor(s)
+    i = np.minimum(np.floor(s).astype(int), 5)  # clamp: h=1 stays magenta
+    f = s - i
     one = np.ones_like(f)
     lut = [
         (one, f, 0 * f),
