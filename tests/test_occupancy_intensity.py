@@ -145,4 +145,4 @@ def test_mesh_color_modes():
     assert (mesh_vis.apply_color_mode(verts, normals, colors, "color")
             == colors).all()
     h = mesh_vis.apply_color_mode(verts, normals, colors, "height")
-    assert (h[0] != h[2]).any()  # height gradient
+    assert (h[0] != h[1]).any()  # height gradient
