@@ -182,3 +182,33 @@ def test_native_codec_matches_numpy(rng):
             np.testing.assert_array_equal(
                 np.asarray(nat_u[k]), np.asarray(ref_u[k]), err_msg=f"{layer_type}/{k}"
             )
+
+
+def test_layer_msg_roundtrip_and_actions(rng):
+    """Block-exchange messages (the ROS layer pub/sub equivalent)."""
+    from voxblox_tpu.io import conversions
+
+    layer = _random_layer(rng, "tsdf", n_blocks=8)
+    # Full UPDATE to a fresh receiver.
+    msg, layer = conversions.serialize_layer_msg(layer, conversions.UPDATE)
+    rx = conversions.deserialize_layer_msg(msg, max_blocks=64)
+    _close(layer, rx, "tsdf")
+    # Delta broadcast: only dirty blocks travel; flags cleared after.
+    layer2 = vlayer.clear_dirty(layer, vlayer.DIRTY_MAP)
+    rows = vlayer.lookup_blocks(
+        layer2, layer2.block_ijk[jnp.asarray([0])]
+    )
+    layer2 = vlayer.mark_dirty(layer2, rows, jnp.ones(1, bool),
+                               vlayer.DIRTY_MAP)
+    msg2, layer2 = conversions.serialize_layer_msg(
+        layer2, conversions.UPDATE, only_updated=True
+    )
+    assert len(msg2) < len(msg)
+    assert int(vlayer.dirty_mask(layer2, vlayer.DIRTY_MAP).sum()) == 0
+    rx2 = conversions.deserialize_layer_msg(msg2, rx)
+    _close(layer, rx2, "tsdf")  # unchanged blocks still intact
+    # RESET drops everything not in the message.
+    rx3 = conversions.deserialize_layer_msg(
+        bytes([conversions.RESET]) + msg2[1:], rx
+    )
+    assert int(rx3.active_mask().sum()) == 1
