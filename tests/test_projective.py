@@ -121,3 +121,34 @@ def test_range_image_binning():
     assert abs(rng[cv, cu] - 2.0) < 1e-5
     color = np.asarray(img.color)
     assert color[cv, cu, 0] == 255
+
+
+def test_batch_matches_sequential():
+    """K-scan batched integration == K sequential calls (associative
+    accumulation; the running average telescopes)."""
+    w, objs = _scene()
+    cfg = TsdfIntegratorConfig(
+        default_truncation_distance=TRUNC, max_ray_length_m=10.0
+    )
+    poses = _poses(4)
+    scans = [_scan(objs, p) for p in poses]
+    seq = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    for pose, (pts_C, colors) in zip(poses, scans):
+        seq, _ = projective.integrate_pointcloud_projective(
+            seq, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=FOV
+        )
+    Rs = jnp.stack([p[0] for p in poses])
+    ts = jnp.stack([p[1] for p in poses])
+    pts = jnp.stack([s[0] for s in scans])
+    cols = jnp.stack([s[1] for s in scans])
+    bat = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    bat, overflow = projective.integrate_pointcloud_projective_batch(
+        bat, Rs, ts, pts, cols, cfg, resolution=RES, fov_h_rad=FOV
+    )
+    assert not bool(overflow)
+    det = evaluation.evaluate_layers_rmse(seq, bat)
+    print("batch vs sequential:", det)
+    assert det.num_evaluated_voxels > 10000
+    assert det.rmse < 2e-3, str(det)
+    n_s, n_b = evaluation.count_observed(seq), evaluation.count_observed(bat)
+    assert abs(n_s - n_b) <= 0.01 * n_s, (n_s, n_b)

@@ -536,3 +536,312 @@ def integrate_pointcloud_projective(
         layer, R, t, img.rng, img.color, img.params, cfg, use_color,
         img.kind, max_visible_blocks, max_mixed_blocks,
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-scan integration
+# ---------------------------------------------------------------------------
+#
+# Because the fused update accumulates (sum w, sum w*sdf, ...) and
+# renormalizes, integrating K scans in one dispatch is EXACTLY equivalent to
+# K sequential calls (the running average telescopes; only the max_weight
+# clamp moves from per-scan to per-batch). Batching amortizes the fixed
+# per-dispatch costs (allocation, compaction, image build, renormalize,
+# python/jit overhead) K-fold — the throughput mode for offline/stream
+# processing; the single-scan path remains for latency-critical use.
+
+
+def _scan_delta(geom_layer, R, t, img: RangeImage, cfg, use_color,
+                max_visible_blocks, max_mixed_blocks, acc):
+    """Allocate + classify + accumulate one scan's contribution deltas.
+
+    geom_layer: VoxelLayer with EMPTY channels (geometry only).
+    acc: (d_w, d_wd, d_cw, d_wc) accumulators [mb, v, v, v(, 3)].
+    Returns (geom_layer, acc, overflowed).
+    """
+    layer = geom_layer
+    cand, ok = _candidate_blocks(layer, img, R, t, cfg)
+    layer, overflowed = vlayer.allocate_blocks(layer, cand, ok)
+
+    slots = vlayer.lookup_blocks(layer, cand)
+    sel = jnp.where(ok, slots, -1)
+    rows = jnp.nonzero(
+        jnp.zeros((layer.max_blocks,), bool).at[
+            jnp.where(sel >= 0, sel, 0)
+        ].set(sel >= 0),
+        size=max_visible_blocks,
+        fill_value=-1,
+    )[0]
+    row_ok = rows >= 0
+    safe_rows = jnp.where(row_ok, rows, 0)
+
+    v = layer.vps
+    h, w = img.rng.shape
+    trunc = cfg.default_truncation_distance
+    clear_depth = cfg.max_ray_length_m - trunc
+
+    # --- classification (same scheme as _integrate_image_jit) ---
+    if cfg.allow_clear:
+        pix_eff = jnp.where(
+            jnp.isfinite(img.rng),
+            jnp.where(img.rng > cfg.max_ray_length_m, clear_depth, img.rng),
+            clear_depth,
+        )
+    else:
+        pix_eff = jnp.where(
+            jnp.isfinite(img.rng) & (img.rng <= cfg.max_ray_length_m),
+            img.rng, -jnp.inf,
+        )
+    th, tw = -(-h // TILE), -(-w // TILE)
+    pe = jnp.pad(pix_eff, ((0, th * TILE - h), (0, tw * TILE - w)),
+                 constant_values=-jnp.inf)
+    tile_lo = jax.lax.reduce_window(
+        pe, jnp.inf, jax.lax.min, (TILE, TILE), (TILE, TILE), "VALID"
+    )
+    tile_hi = jax.lax.reduce_window(
+        pe, -jnp.inf, jax.lax.max, (TILE, TILE), (TILE, TILE), "VALID"
+    )
+
+    bs = layer.block_size
+    sel_ijk = layer.block_ijk[safe_rows]
+    corner_off = jnp.stack(
+        jnp.meshgrid(*([jnp.asarray([0.0, 1.0])] * 3), indexing="ij"), -1
+    ).reshape(-1, 3)
+    corners_G = (sel_ijk[:, None, :].astype(jnp.float32) + corner_off[None]) * bs
+    corners_C = (corners_G - t) @ R
+    cu, cv, cr, cfront = _project(img, corners_C)
+    all_front = jnp.all(cfront, axis=1)
+    r_lo = jnp.min(cr, axis=1)
+    r_hi = jnp.max(cr, axis=1)
+    u0 = jnp.min(cu, axis=1); u1 = jnp.max(cu, axis=1)
+    v0 = jnp.min(cv, axis=1); v1 = jnp.max(cv, axis=1)
+    bbox_in = all_front & (u0 >= 0) & (u1 < w) & (v0 >= 0) & (v1 < h)
+    t0u = jnp.clip(jnp.floor(u0 / TILE).astype(jnp.int32), 0, tw - 1)
+    t1u = jnp.clip(jnp.floor(u1 / TILE).astype(jnp.int32), 0, tw - 1)
+    t0v = jnp.clip(jnp.floor(v0 / TILE).astype(jnp.int32), 0, th - 1)
+    t1v = jnp.clip(jnp.floor(v1 / TILE).astype(jnp.int32), 0, th - 1)
+    span_ok = ((t1u - t0u) < MAX_TILE_TAPS) & ((t1v - t0v) < MAX_TILE_TAPS)
+    tap = jnp.arange(MAX_TILE_TAPS)
+    tv = jnp.minimum(t0v[:, None] + tap[None], t1v[:, None])
+    tu = jnp.minimum(t0u[:, None] + tap[None], t1u[:, None])
+    lo_taps = tile_lo[tv[:, :, None], tu[:, None, :]]
+    hi_taps = tile_hi[tv[:, :, None], tu[:, None, :]]
+    foot_lo = jnp.min(lo_taps, axis=(1, 2))
+    foot_hi = jnp.max(hi_taps, axis=(1, 2))
+    margin = layer.voxel_size
+    free_row = (
+        row_ok & bbox_in & span_ok
+        & (r_lo > cfg.min_ray_length_m)
+        & (foot_lo > r_hi + trunc + margin)
+    )
+    skip_row = row_ok & bbox_in & span_ok & (r_lo > foot_hi + trunc + margin)
+    mixed_row = row_ok & ~free_row & ~skip_row
+    z_est = jnp.clip(foot_lo, cfg.min_ray_length_m, cfg.max_ray_length_m)
+
+    d_w, d_wd, d_cw, d_wc = acc
+    mb = layer.max_blocks
+
+    # --- FREE rows: constant per-row delta ---
+    if cfg.voxel_carving_enabled:
+        if cfg.use_const_weight:
+            wf = jnp.where(free_row, 1.0, 0.0)
+        else:
+            wf = jnp.where(free_row, 1.0 / jnp.maximum(z_est * z_est, 1e-6),
+                           0.0)
+        fwrite = jnp.where(free_row, safe_rows, mb)
+        wf_b = jnp.broadcast_to(wf[:, None, None, None],
+                                wf.shape + (layer.vps,) * 3)
+        d_w = d_w.at[fwrite].add(wf_b, mode="drop")
+        d_wd = d_wd.at[fwrite].add(trunc * wf_b, mode="drop")
+
+    # --- MIXED rows: per-voxel deltas ---
+    mixed_rows = jnp.nonzero(
+        jnp.zeros((mb,), bool).at[
+            jnp.where(mixed_row, safe_rows, 0)
+        ].set(mixed_row),
+        size=max_mixed_blocks,
+        fill_value=-1,
+    )[0]
+    m_ok = mixed_rows >= 0
+    m_safe = jnp.where(m_ok, mixed_rows, 0)
+
+    zz, yy, xx = jnp.meshgrid(jnp.arange(v), jnp.arange(v), jnp.arange(v),
+                              indexing="ij")
+    local = jnp.stack([xx, yy, zz], -1)
+    gvi = layer.block_ijk[m_safe][:, None, None, None, :] * v + local[None]
+    centers = grid.grid_index_to_center_point(gvi, layer.voxel_size)
+    p_C = (centers - t) @ R
+    u, vv_, r_vox, front = _project(img, p_C)
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(vv_).astype(jnp.int32)
+    inb = front & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+    inb = inb & m_ok[:, None, None, None]
+    flat_pix = jnp.where(inb, vi * w + ui, h * w)
+
+    rng_min = -jax.lax.reduce_window(
+        -img.rng, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    rpad = jnp.pad(img.rng, 1, constant_values=jnp.inf)
+    d_up = rpad[1:-1, 2:] - img.rng
+    d_um = img.rng - rpad[1:-1, :-2]
+    d_vp = rpad[2:, 1:-1] - img.rng
+    d_vm = img.rng - rpad[:-2, 1:-1]
+
+    def clamp_grad(a, b):
+        ok_a = jnp.isfinite(a) & (jnp.abs(a) < trunc)
+        ok_b = jnp.isfinite(b) & (jnp.abs(b) < trunc)
+        return jnp.where(
+            ok_a & ok_b, 0.5 * (a + b),
+            jnp.where(ok_a, a, jnp.where(ok_b, b, 0.0)),
+        )
+
+    feat = jnp.stack(
+        [
+            img.rng, rng_min, clamp_grad(d_up, d_um), clamp_grad(d_vp, d_vm),
+            img.color[..., 0], img.color[..., 1], img.color[..., 2],
+            jnp.zeros_like(img.rng),
+        ],
+        axis=-1,
+    ).reshape(-1, 8)
+    g8 = feat.at[flat_pix].get(mode="fill", fill_value=jnp.inf)
+    r_nearest = g8[..., 0]
+    r_min = g8[..., 1]
+    du = jnp.where(jnp.isfinite(g8[..., 2]), g8[..., 2], 0.0)
+    dv = jnp.where(jnp.isfinite(g8[..., 3]), g8[..., 3], 0.0)
+    pix_color = jnp.where(jnp.isfinite(g8[..., 4:7]), g8[..., 4:7], 0.0)
+    r_img = r_nearest + du * (u - ui) + dv * (vv_ - vi)
+
+    def effective(r):
+        has_ret = jnp.isfinite(r)
+        beyond = has_ret & (r > cfg.max_ray_length_m)
+        if cfg.allow_clear:
+            return jnp.where(has_ret & ~beyond, r, clear_depth), (
+                has_ret & ~beyond)
+        return jnp.where(has_ret & ~beyond, r, -jnp.inf), has_ret & ~beyond
+
+    eff_range, has_surface = effective(r_img)
+    eff_min, _ = effective(r_min)
+    too_close = eff_range < cfg.min_ray_length_m
+    sdf = eff_range - r_vox
+    sdf_carve = eff_min - r_vox
+    in_band = has_surface & (jnp.abs(sdf) < trunc)
+    free = sdf_carve >= trunc
+    upd = inb & ~too_close & (in_band | free)
+    sdf = jnp.where(in_band, sdf, jnp.maximum(sdf, trunc))
+    if not cfg.voxel_carving_enabled:
+        upd = upd & in_band
+
+    if cfg.use_const_weight:
+        w0 = jnp.ones_like(sdf)
+    else:
+        if img.kind == "pinhole":
+            cos_theta = p_C[..., 2] / jnp.maximum(r_vox, 1e-6)
+            z_surf = eff_range * cos_theta
+        else:
+            z_surf = eff_range
+        w0 = 1.0 / jnp.maximum(z_surf * z_surf, 1e-6)
+    if cfg.use_weight_dropoff:
+        ramp = (trunc + sdf) / (trunc - layer.voxel_size)
+        w0 = jnp.where(sdf < -layer.voxel_size,
+                       jnp.maximum(w0 * ramp, 0.0), w0)
+    if cfg.use_sparsity_compensation_factor:
+        w0 = jnp.where(jnp.abs(sdf) < trunc,
+                       w0 * cfg.sparsity_compensation_factor, w0)
+    w0 = jnp.where(upd, w0, 0.0)
+    sdf_c = jnp.clip(sdf, -trunc, trunc)
+
+    mwrite = jnp.where(m_ok, mixed_rows, mb)
+    d_w = d_w.at[mwrite].add(w0, mode="drop")
+    d_wd = d_wd.at[mwrite].add(w0 * sdf_c, mode="drop")
+    if use_color:
+        cw = jnp.where((w0 > 0) & (jnp.abs(sdf) < trunc) & has_surface,
+                       w0, 0.0)
+        d_cw = d_cw.at[mwrite].add(cw, mode="drop")
+        d_wc = d_wc.at[mwrite].add(cw[..., None] * pix_color, mode="drop")
+
+    return layer, (d_w, d_wd, d_cw, d_wc), overflowed
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "resolution", "fov_h_rad", "kind", "use_color",
+        "max_visible_blocks", "max_mixed_blocks",
+    ),
+    donate_argnums=(0,),
+)
+def integrate_pointcloud_projective_batch(
+    layer, Rs, ts, points_C, colors, cfg: TsdfIntegratorConfig,
+    resolution=(320, 240), fov_h_rad: float = float(np.deg2rad(90.0)),
+    kind: str = "pinhole", use_color: bool = True,
+    max_visible_blocks: int = 512, max_mixed_blocks: int = 256,
+):
+    """Integrate K posed scans in one dispatch.
+
+    Rs f32[K,3,3], ts f32[K,3], points_C f32[K,N,3], colors f32[K,N,3].
+    Exactly equivalent to K sequential projective calls except that the
+    max_weight clamp applies per batch. Returns (layer, overflowed).
+    """
+    mb = layer.max_blocks
+    v = layer.vps
+    geom = dataclasses.replace(layer, channels={})
+    acc = (
+        jnp.zeros((mb, v, v, v), jnp.float32),
+        jnp.zeros((mb, v, v, v), jnp.float32),
+        jnp.zeros((mb, v, v, v), jnp.float32),
+        jnp.zeros((mb, v, v, v, 3), jnp.float32),
+    )
+
+    def body(carry, scan):
+        geom, acc, ovf = carry
+        R, t, pts, cols = scan
+        if kind == "pinhole":
+            img = build_pinhole_range_image(pts, cols, resolution, fov_h_rad)
+        else:
+            img = build_spherical_range_image(pts, cols, resolution)
+        geom, acc, o = _scan_delta(
+            geom, R, t, img, cfg, use_color,
+            max_visible_blocks, max_mixed_blocks, acc,
+        )
+        return (geom, acc, ovf | o), None
+
+    (geom, acc, overflowed), _ = jax.lax.scan(
+        body, (geom, acc, jnp.asarray(False)), (Rs, ts, points_C, colors)
+    )
+    d_w, d_wd, d_cw, d_wc = acc
+
+    trunc = cfg.default_truncation_distance
+    old_d = layer.channels["tsdf"]
+    old_w = layer.channels["weight"]
+    new_w_raw = old_w + d_w
+    touched = d_w > 0.0
+    new_d = jnp.clip(
+        (old_d * old_w + d_wd) / jnp.maximum(new_w_raw, grid.FLOAT_EPS),
+        -trunc, trunc,
+    )
+    ch = dict(layer.channels)
+    ch["tsdf"] = jnp.where(touched, new_d, old_d)
+    ch["weight"] = jnp.where(
+        touched, jnp.minimum(new_w_raw, cfg.max_weight), old_w
+    )
+    if use_color:
+        old_c = layer.channels["color"]
+        ctouched = d_cw > 0.0
+        new_c = (old_c * old_w[..., None] + d_wc) / jnp.maximum(
+            old_w + d_cw, grid.FLOAT_EPS
+        )[..., None]
+        ch["color"] = jnp.where(ctouched[..., None], new_c, old_c)
+
+    layer = dataclasses.replace(
+        layer,
+        channels=ch,
+        table=geom.table,
+        block_ijk=geom.block_ijk,
+        num_blocks=geom.num_blocks,
+        block_flags=jnp.where(
+            jnp.any(touched, axis=(1, 2, 3)),
+            vlayer.ACTIVE | vlayer.DIRTY_ALL,
+            geom.block_flags,
+        ).astype(jnp.uint8),
+    )
+    return layer, overflowed
