@@ -213,3 +213,51 @@ def test_compacted_sweep_matches_full():
     det = evaluation.evaluate_layers_rmse(esdf_full, esdf_c)
     assert det.num_evaluated_voxels > 10000
     assert det.rmse < 1e-5, str(det)
+
+
+def test_full_euclidean_point_source():
+    """full_euclidean_distance: true euclidean metric from a point seed
+    (vs the quasi-euclidean chamfer of the default mode)."""
+    voxel = 1.0
+    layer = vlayer.make_layer("tsdf", voxel, vps=8, max_blocks=64)
+    blocks = np.stack(
+        np.meshgrid([-1, 0], [-1, 0], [-1, 0], indexing="ij"), -1
+    ).reshape(-1, 3).astype(np.int32)
+    layer, _ = vlayer.allocate_blocks(
+        layer, jnp.asarray(blocks), jnp.ones(len(blocks), bool)
+    )
+    active = layer.active_mask()
+    ch = dict(layer.channels)
+    ch["weight"] = jnp.where(
+        active[:, None, None, None], 1.0, 0.0
+    ) * jnp.ones_like(ch["weight"])
+    ch["tsdf"] = jnp.full_like(ch["tsdf"], 100.0)
+    layer = dataclasses_replace(layer, channels=ch)
+    layer = vlayer.set_voxels(
+        layer, "tsdf", jnp.asarray([[0, 0, 0]], jnp.int32), jnp.asarray([0.0])
+    )
+    cfg = EsdfIntegratorConfig(
+        max_distance_m=20.0, default_distance_m=20.0, min_distance_m=0.2,
+        min_diff_m=1e-4, full_euclidean_distance=True,
+    )
+    esdf_layer = vlayer.make_layer("esdf", voxel, vps=8, max_blocks=64)
+    esdf_layer, overflow, _ = esdf.update_from_tsdf_batch(esdf_layer, layer, cfg)
+    q = np.array(
+        [[1, 0, 0], [1, 1, 0], [3, 2, 1], [-4, -4, -4], [5, 0, 0], [4, 3, 0]],
+        np.int32,
+    )
+    got, found = vlayer.get_voxels(esdf_layer, "esdf", jnp.asarray(q))
+    assert bool(jnp.all(found))
+    want = np.linalg.norm(q.astype(np.float64), axis=1)
+    # Parent-vector propagation is exact along explored paths but sweep
+    # ordering can lock in slightly suboptimal parents on oblique
+    # directions (~3% worst case here — the quasi-euclidean metric errs
+    # 10.8% on the same query; the reference quotes "up to 8%" for its
+    # own approximations, esdf_integrator.h:33-37).
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.035)
+    # Strictly better than quasi-euclidean everywhere.
+    chamfer = []
+    for v_ in q:
+        a = np.sort(np.abs(v_))[::-1]
+        chamfer.append((a[0]-a[1]) + (a[1]-a[2])*np.sqrt(2) + a[2]*np.sqrt(3))
+    assert (np.asarray(got) <= np.asarray(chamfer) + 1e-3).all()

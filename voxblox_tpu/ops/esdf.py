@@ -222,6 +222,12 @@ def seed_from_tsdf(
     ch = dict(esdf_layer.channels)
     ch["esdf"] = out_d.reshape(ch["esdf"].shape)
     ch["esdf_flags"] = out_f.reshape(ch["esdf_flags"].shape)
+    # Seeded/reclassified voxels reset their parent (cc: parent.setZero()).
+    par_shape = ch["parent"].shape
+    par = ch["parent"].reshape(mbe, vpb, 3)
+    ch["parent"] = jnp.where(
+        update[..., None], np.int8(0), par
+    ).reshape(par_shape)
     esdf_layer = dataclasses.replace(esdf_layer, channels=ch)
     return esdf_layer, changed, raised_rows
 
@@ -231,18 +237,46 @@ def seed_from_tsdf(
 # ---------------------------------------------------------------------------
 
 
-def _relax_once(d_pad, obs_pad, src_pad, d, upd_mask, voxel_size, cfg):
+def _pack_parent(px, py, pz):
+    """Parent offset vector (int, [-126, 126] per axis) -> packed int32."""
+    return (
+        ((px + 128) << 16) | ((py + 128) << 8) | (pz + 128)
+    ).astype(jnp.int32)
+
+
+def _unpack_parent(p):
+    return (p >> 16) - 128, ((p >> 8) & 0xFF) - 128, (p & 0xFF) - 128
+
+
+_PARENT_ZERO = int(np.asarray(_pack_parent(
+    jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+    jnp.zeros((), jnp.int32))))
+
+
+def _relax_once(d_pad, obs_pad, src_pad, d, upd_mask, voxel_size, cfg,
+                parent_pad=None, parent=None):
     """One 26-neighbor relaxation on padded arrays.
 
     d_pad/obs_pad/src_pad: [mb, V+2,V+2,V+2] distance/observed/source-ok.
     d: [mb,V,V,V] current center values; upd_mask: non-fixed & observed &
-    in-region center voxels. Returns new center distances.
+    in-region center voxels. Returns new center distances (and, in
+    full-euclidean mode, updated packed parent vectors).
+
+    Quasi-euclidean (default): the neighbor edge length voxel_size *
+    {1, sqrt2, sqrt3}. Full-euclidean (cc:415-426 semantics): each voxel
+    carries the offset vector to its seed; the candidate cost increment is
+    voxel_size * (|parent + offset| - |parent|), which telescopes to the
+    true euclidean distance from the seed.
     """
     v = d.shape[1]
+    full_euclid = parent_pad is not None
     pos = d > 0.0
     best_pos = jnp.full_like(d, jnp.inf)
     best_neg = jnp.full_like(d, -jnp.inf)
     flip_len = jnp.full_like(d, jnp.inf)
+    if full_euclid:
+        best_pos_par = jnp.full(d.shape, _PARENT_ZERO, jnp.int32)
+        best_neg_par = jnp.full(d.shape, _PARENT_ZERO, jnp.int32)
 
     for k in range(26):
         dx, dy, dz = (int(_OFFSETS[k, 0]), int(_OFFSETS[k, 1]),
@@ -258,12 +292,36 @@ def _relax_once(d_pad, obs_pad, src_pad, d, upd_mask, voxel_size, cfg):
         nd = d_pad[sl]
         n_ok = obs_pad[sl] & src_pad[sl]
         n_pos = nd > 0.0
-        best_pos = jnp.minimum(
-            best_pos, jnp.where(n_ok & n_pos, nd + step, jnp.inf)
-        )
-        best_neg = jnp.maximum(
-            best_neg, jnp.where(n_ok & ~n_pos, nd - step, -jnp.inf)
-        )
+        if full_euclid:
+            px, py, pz = _unpack_parent(parent_pad[sl])
+            # The source voxel sits at center + OFFSET; walking back to the
+            # center extends the source's seed vector by +OFFSET.
+            cx = jnp.clip(px + dx, -126, 126)
+            cy = jnp.clip(py + dy, -126, 126)
+            cz = jnp.clip(pz + dz, -126, 126)
+            norm_n = jnp.sqrt(
+                (px * px + py * py + pz * pz).astype(jnp.float32)
+            )
+            norm_c = jnp.sqrt(
+                (cx * cx + cy * cy + cz * cz).astype(jnp.float32)
+            )
+            inc = (norm_c - norm_n) * voxel_size
+            inc = jnp.maximum(inc, 0.0)  # reference skips negative increments
+            cand_par = _pack_parent(cx, cy, cz)
+        else:
+            inc = step
+        cp = jnp.where(n_ok & n_pos, nd + inc, jnp.inf)
+        cn = jnp.where(n_ok & ~n_pos, nd - inc, -jnp.inf)
+        if full_euclid:
+            take_p = cp < best_pos
+            best_pos_par = jnp.where(take_p, cand_par, best_pos_par)
+            best_pos = jnp.where(take_p, cp, best_pos)
+            take_n = cn > best_neg
+            best_neg_par = jnp.where(take_n, cand_par, best_neg_par)
+            best_neg = jnp.where(take_n, cn, best_neg)
+        else:
+            best_pos = jnp.minimum(best_pos, cp)
+            best_neg = jnp.maximum(best_neg, cn)
         # Sign-flip rule (cc:458-496): neighbor with opposite sign whose
         # projected value disagrees strongly caps |d| at the step length.
         diff_sign = n_pos != pos
@@ -282,7 +340,20 @@ def _relax_once(d_pad, obs_pad, src_pad, d, upd_mask, voxel_size, cfg):
         cand,
     )
     improved = jnp.abs(cand - d) > cfg.min_diff_m
-    return jnp.where(upd_mask & improved, cand, d)
+    take = upd_mask & improved
+    d_out = jnp.where(take, cand, d)
+    if full_euclid:
+        new_par = jnp.where(pos, best_pos_par, best_neg_par)
+        # Only adopt the neighbor's parent when its candidate won (not the
+        # flip cap, which restarts at the interface: parent resets to 0).
+        from_nbr = take & jnp.where(
+            pos, cand == best_pos, cand == best_neg
+        )
+        flip_take = take & ~from_nbr
+        parent_out = jnp.where(from_nbr, new_par, parent)
+        parent_out = jnp.where(flip_take, _PARENT_ZERO, parent_out)
+        return d_out, parent_out
+    return d_out
 
 
 def lower_sweep(
@@ -311,6 +382,7 @@ def lower_sweep(
             esdf_layer, esdf_layer.channels["esdf"],
             esdf_layer.channels["esdf_flags"], nbr, region_rows, cfg,
             write_back_rows=None,
+            parent8=esdf_layer.channels["parent"],
         )
 
     # Compact working set: region rows + their neighbor sources.
@@ -337,61 +409,94 @@ def lower_sweep(
     out_layer, iters = _sweep_on(
         esdf_layer, d_c, f_c, nbr_c, region_c, cfg,
         write_back_rows=(rows, r_ok),
+        parent8=esdf_layer.channels["parent"][safe],
     )
     return out_layer, iters
 
 
 def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
-              write_back_rows):
+              write_back_rows, parent8=None):
     """Core relaxation loop over arrays d/flags [N, v, v, v] with neighbor
     table nbr [N, 27] indexing the SAME arrays (-1 missing). If
-    write_back_rows is (rows, ok), results scatter back into the layer."""
+    write_back_rows is (rows, ok), results scatter back into the layer.
+    parent8: int8[N, v, v, v, 3] seed-offset vectors (full-euclidean)."""
     obs = (flags & OBS) != 0
     fixed = (flags & FIX) != 0
     upd_mask = obs & ~fixed & region_rows[:, None, None, None]
     obs_f = obs.astype(jnp.float32)
+    full_euclid = cfg.full_euclidean_distance
 
     view = dataclasses.replace(
         esdf_layer,
         channels={"esdf": d, "esdf_flags": flags,
                   "parent": esdf_layer.channels["parent"][:1]},
     )
-    # build_padded reads vps + uses row count from the value array.
+    # _padded reads vps + takes the row count from the value array.
+
+    if full_euclid:
+        p0 = _pack_parent(
+            parent8[..., 0].astype(jnp.int32),
+            parent8[..., 1].astype(jnp.int32),
+            parent8[..., 2].astype(jnp.int32),
+        )
+    else:
+        p0 = jnp.zeros((1,), jnp.int32)  # placeholder carry
 
     def outer_cond(state):
-        dd, changed, it = state
+        dd, pp, changed, it = state
         return changed & (it < cfg.max_outer_sweeps)
 
     def outer_body(state):
-        dd, _, it = state
+        dd, pp, _, it = state
         d_pad = _padded(view, dd, nbr, jnp.float32(0.0))
         obs_pad = _padded(view, obs_f, nbr, jnp.float32(0.0)) > 0.5
         src_pad = obs_pad & (jnp.abs(d_pad) < cfg.max_distance_m)
+        if full_euclid:
+            p_pad = _padded(view, pp, nbr, jnp.int32(_PARENT_ZERO))
         d0 = dd
 
-        def inner(i, di):
-            return _relax_once(
-                d_pad.at[:, 1:-1, 1:-1, 1:-1].set(di),
-                obs_pad, src_pad, di, upd_mask,
-                esdf_layer.voxel_size, cfg,
-            )
+        def inner(i, carry):
+            di, pi = carry
+            dpi = d_pad.at[:, 1:-1, 1:-1, 1:-1].set(di)
+            if full_euclid:
+                ppi = p_pad.at[:, 1:-1, 1:-1, 1:-1].set(pi)
+                di, pi = _relax_once(
+                    dpi, obs_pad, src_pad, di, upd_mask,
+                    esdf_layer.voxel_size, cfg,
+                    parent_pad=ppi, parent=pi,
+                )
+            else:
+                di = _relax_once(
+                    dpi, obs_pad, src_pad, di, upd_mask,
+                    esdf_layer.voxel_size, cfg,
+                )
+            return di, pi
 
-        dd = jax.lax.fori_loop(0, cfg.inner_sweeps, inner, dd)
+        dd, pp = jax.lax.fori_loop(0, cfg.inner_sweeps, inner, (dd, pp))
         changed = jnp.any(jnp.abs(dd - d0) > cfg.min_diff_m)
-        return dd, changed, it + 1
+        return dd, pp, changed, it + 1
 
-    d_out, _, iters = jax.lax.while_loop(
-        outer_cond, outer_body, (d, jnp.asarray(True), jnp.int32(0))
+    d_out, p_out, _, iters = jax.lax.while_loop(
+        outer_cond, outer_body, (d, p0, jnp.asarray(True), jnp.int32(0))
     )
     ch = dict(esdf_layer.channels)
+    if full_euclid:
+        px, py, pz = _unpack_parent(p_out)
+        par8 = jnp.stack([px, py, pz], -1).astype(jnp.int8)
     if write_back_rows is None:
         ch["esdf"] = d_out
+        if full_euclid:
+            ch["parent"] = par8
     else:
         rows, ok = write_back_rows
         wr = jnp.where(ok, rows, esdf_layer.max_blocks)
         ch["esdf"] = ch["esdf"].at[wr].set(
             d_out, mode="drop", unique_indices=True
         )
+        if full_euclid:
+            ch["parent"] = ch["parent"].at[wr].set(
+                par8, mode="drop", unique_indices=True
+            )
     return dataclasses.replace(esdf_layer, channels=ch), iters
 
 
