@@ -81,20 +81,14 @@ def main():
         scans.append((R, pos, pts_C, colors))
     jax.block_until_ready(scans[-1][2])
 
-    Rs = jnp.stack([s[0] for s in scans])
-    ts = jnp.stack([s[1] for s in scans])
-    pts = jnp.stack([s[2] for s in scans])
-    cols = jnp.stack([s[3] for s in scans])
-
     def run_epoch(layer, n_rounds):
-        # Throughput mode: all scans of the epoch in ONE dispatch (the
-        # associative accumulation makes this exactly sequential-equivalent).
         for _ in range(n_rounds):
-            layer, _ = projective.integrate_pointcloud_projective_batch(
-                layer, Rs, ts, pts, cols, cfg,
-                resolution=virt, fov_h_rad=float(np.deg2rad(60.0)),
-                max_visible_blocks=320, max_mixed_blocks=192,
-            )
+            for R, pos, pts_C, colors in scans:
+                layer, _ = projective.integrate_pointcloud_projective(
+                    layer, (R, pos), pts_C, colors, cfg,
+                    resolution=virt, fov_h_rad=float(np.deg2rad(60.0)),
+                    max_visible_blocks=320, max_mixed_blocks=192,
+                )
         jax.block_until_ready(layer.channels["tsdf"])
         return layer
 
