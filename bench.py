@@ -81,11 +81,24 @@ def main():
         scans.append((R, pos, pts_C, colors))
     jax.block_until_ready(scans[-1][2])
 
+    # Throughput mode: batches of 8 scans per dispatch (associative
+    # accumulation makes this exactly sequential-equivalent).
+    K = 8
+    batches = []
+    for s0 in range(0, n_poses, K):
+        group = scans[s0 : s0 + K]
+        batches.append((
+            jnp.stack([g[0] for g in group]),
+            jnp.stack([g[1] for g in group]),
+            jnp.stack([g[2] for g in group]),
+            jnp.stack([g[3] for g in group]),
+        ))
+
     def run_epoch(layer, n_rounds):
         for _ in range(n_rounds):
-            for R, pos, pts_C, colors in scans:
-                layer, _ = projective.integrate_pointcloud_projective(
-                    layer, (R, pos), pts_C, colors, cfg,
+            for Rs, ts, pts, cols in batches:
+                layer, _ = projective.integrate_pointcloud_projective_batch(
+                    layer, Rs, ts, pts, cols, cfg,
                     resolution=virt, fov_h_rad=float(np.deg2rad(60.0)),
                     max_visible_blocks=320, max_mixed_blocks=192,
                 )
