@@ -103,26 +103,56 @@ def render_depth(
     SDF channel; color to the color channel.
     """
     vs = layer.voxel_size
+    bs = layer.block_size
     if not max_steps:
-        max_steps = int(max_distance / vs * 1.4) + 8
+        # Block-level skipping shortens typical rays to a few block hops
+        # plus near-surface voxel steps; keep a generous bound.
+        max_steps = int(max_distance / vs * 0.6) + int(max_distance / bs) + 16
 
-    def step(_, state):
+    # Per-block "may contain a surface" mask: any observed voxel within
+    # 2 voxels of the zero crossing. Blocks without it are safely skipped
+    # whole (AABB exit step) — the big win over per-voxel marching through
+    # clamped free space.
+    surface_block = jnp.any(
+        (layer.channels["weight"] > 1e-6)
+        & (jnp.abs(layer.channels["tsdf"]) < 2.0 * vs),
+        axis=(1, 2, 3),
+    ) & layer.active_mask()
+
+    inv_dirs = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
+
+    def step(state):
         # March on the nearest-voxel field (1 hash lookup per step); the
         # trilinear field is only sampled once at the end for the Newton
         # refinement — trilinear-per-step costs ~30 random gathers/step.
-        t, done = state
+        t, done, it = state
         x = origins + t[:, None] * dirs
+        block = grid.point_to_grid_index(x, 1.0 / bs)
+        slot = vlayer.lookup_blocks(layer, block)
+        has_surface = surface_block.at[slot].get(mode="fill",
+                                                 fill_value=False)
+        has_surface = has_surface & (slot >= 0)
+        # AABB exit distance of the current block along the ray.
+        corner = (block + (dirs > 0.0).astype(jnp.int32)).astype(
+            jnp.float32
+        ) * bs
+        t_exit = jnp.min((corner - x) * inv_dirs, axis=-1)
+        skip = jnp.maximum(t_exit, 0.0) + 0.05 * vs
+
         s, w_nn, found = _nearest_voxel(layer, x)
         observed = found & (w_nn > 1e-6)
-        adv = jnp.where(observed, jnp.maximum(s, 0.6 * vs), vs)
-        hit_now = observed & (s < 0.6 * vs)
+        adv_vox = jnp.where(observed, jnp.maximum(s, 0.6 * vs), vs)
+        adv = jnp.where(has_surface, adv_vox, jnp.maximum(skip, vs))
+        hit_now = has_surface & observed & (s < 0.6 * vs)
         t = jnp.where(done | hit_now, t, t + adv)
         done = done | hit_now | (t >= max_distance)
-        return t, done
+        return t, done, it + 1
 
     t0 = jnp.full((dirs.shape[0],), 0.0, jnp.float32)
-    t_raw, done = jax.lax.fori_loop(
-        0, max_steps, step, (t0, jnp.zeros(dirs.shape[0], bool))
+    t_raw, done, _ = jax.lax.while_loop(
+        lambda st: (~jnp.all(st[1])) & (st[2] < max_steps),
+        step,
+        (t0, jnp.zeros(dirs.shape[0], bool), jnp.int32(0)),
     )
     # Two gradient-stopped trilinear refinements pull the stop point into
     # the correct interpolation cell before the differentiable Newton step.
