@@ -134,7 +134,7 @@ def _relax_kernel(inner_sweeps: int, voxel_size: float, max_distance: float,
 )
 def relax_padded(d_pad, obs_pad, upd_pad, inner_sweeps: int,
                  voxel_size: float, max_distance: float, min_diff: float,
-                 interpret: bool = False, block_tile: int = 64):
+                 interpret: bool = False, block_tile: int = 8):
     """Run inner_sweeps relaxations on padded blocks.
 
     d_pad: f32[B, 18, 18, 18] distances (with halo ring).
