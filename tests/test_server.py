@@ -151,3 +151,29 @@ def test_clear_and_fill_spheres():
     assert bool(f1[0]) and bool(f2[0])
     assert float(d_in[0]) > 1.9  # free
     assert float(d_out[0]) < -1.9  # occupied crust
+
+
+def test_projective_server_method():
+    w = _world()
+    objs = w.freeze()
+    srv = EsdfServer(
+        map_config=MapConfig(voxel_size=0.2, max_blocks=1024),
+        integrator_config=TsdfIntegratorConfig(
+            default_truncation_distance=0.8, max_ray_length_m=10.0
+        ),
+        method="projective",
+        projective_resolution=(64, 48),
+        projective_fov_deg=60.0,
+    )
+    view = jnp.asarray([-1.0, 0.0, 0.0])
+    R = sw.rotation_from_two_vectors(jnp.asarray([0.0, 0.0, 1.0]), view)
+    pos = jnp.asarray([4.0, 0.0, 2.0])
+    pts_G, colors, valid = sw.pointcloud_from_viewpoint(
+        objs, pos, view, (64, 48), np.deg2rad(60.0), 10.0
+    )
+    pts_C = sw.world_points_to_sensor((R, pos), pts_G, valid)
+    srv.insert_pointcloud((R, pos), pts_C, colors)
+    assert int(srv.layer.num_blocks) > 20
+    srv.update_esdf()
+    srv.update_mesh()
+    assert srv.mesh_layer.num_vertices() > 0

@@ -54,11 +54,18 @@ class TsdfServer:
         icp_config: IcpConfig = IcpConfig(),
         max_block_distance_from_body: float = 0.0,
         max_points: Optional[int] = None,
+        # method="projective": virtual range-image parameters.
+        projective_resolution=(320, 240),
+        projective_fov_deg: float = 90.0,
+        projective_kind: str = "pinhole",
     ):
         self.map_config = map_config
         self.cfg = integrator_config
         self.mesh_config = mesh_config
         self.method = method
+        self.projective_resolution = tuple(projective_resolution)
+        self.projective_fov = float(np.deg2rad(projective_fov_deg))
+        self.projective_kind = projective_kind
         self.enable_icp = enable_icp
         self.icp_config = icp_config
         self.max_block_distance = max_block_distance_from_body
@@ -111,17 +118,29 @@ class TsdfServer:
                 self.icp_corrected = T_G_C
 
         with timing.timer(f"integrate/{self.method}"):
-            self.layer, self.fast_state, overflow = (
-                tsdf_ops.integrate_pointcloud(
-                    self.layer,
-                    T_G_C,
-                    points_C,
-                    colors,
-                    self.cfg,
-                    method=self.method,
-                    state=self.fast_state,
+            if self.method == "projective":
+                from ..ops import projective as projective_ops
+
+                self.layer, overflow = (
+                    projective_ops.integrate_pointcloud_projective(
+                        self.layer, T_G_C, points_C, colors, self.cfg,
+                        resolution=self.projective_resolution,
+                        fov_h_rad=self.projective_fov,
+                        kind=self.projective_kind,
+                    )
                 )
-            )
+            else:
+                self.layer, self.fast_state, overflow = (
+                    tsdf_ops.integrate_pointcloud(
+                        self.layer,
+                        T_G_C,
+                        points_C,
+                        colors,
+                        self.cfg,
+                        method=self.method,
+                        state=self.fast_state,
+                    )
+                )
             jax.block_until_ready(self.layer.channels["tsdf"])
         if bool(overflow):
             raise MemoryError(
