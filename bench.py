@@ -124,7 +124,7 @@ def main():
     # Secondary numbers (stderr only).
     ecfg = EsdfIntegratorConfig(
         max_distance_m=2.0, default_distance_m=2.0, min_distance_m=2 * voxel,
-        max_active_blocks=1024,
+        max_active_blocks=1024, use_pallas_kernel=True,
     )
     esdf_layer = vlayer.make_layer("esdf", voxel, vps=16, max_blocks=4096)
     esdf_layer, _, _ = esdf_ops.update_from_tsdf_batch(esdf_layer, layer, ecfg)

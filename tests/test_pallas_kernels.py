@@ -35,3 +35,52 @@ def test_relax_kernel_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(out)[:, 1:-1, 1:-1, 1:-1], np.asarray(dd), atol=1e-6
     )
+
+
+def test_sweep_with_pallas_flag_matches_xla():
+    """End-to-end batch ESDF with use_pallas_kernel (interpreted on CPU)
+    must reach the same fixpoint as the XLA sweep."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_esdf import _plane_tsdf_layer, VOXEL
+
+    from voxblox_tpu.core import layer as vlayer
+    from voxblox_tpu.utils import evaluation
+
+    # vps=16 required for the kernel layout; build a 16-vps plane layer.
+    layer = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=64)
+    import numpy as _np
+    blocks = _np.stack(
+        _np.meshgrid([-1, 0], [-1, 0], [-1, 0], indexing="ij"), -1
+    ).reshape(-1, 3).astype(_np.int32)
+    layer, _ = vlayer.allocate_blocks(
+        layer, jnp.asarray(blocks), jnp.ones(len(blocks), bool)
+    )
+    from voxblox_tpu.core import grid as vgrid
+    lin = jnp.arange(layer.voxels_per_block)
+    local = vgrid.linear_to_local(lin, 16)
+    gvi = layer.block_ijk[:, None, :] * 16 + local[None]
+    z = vgrid.grid_index_to_center_point(gvi, VOXEL)[..., 2]
+    import dataclasses
+    ch = dict(layer.channels)
+    ch["tsdf"] = jnp.clip(z, -0.4, 0.4).reshape(ch["tsdf"].shape)
+    ch["weight"] = jnp.where(
+        layer.active_mask()[:, None, None, None],
+        jnp.ones_like(ch["weight"]), 0.0,
+    )
+    layer = dataclasses.replace(layer, channels=ch)
+
+    base = EsdfIntegratorConfig(
+        max_distance_m=2.0, default_distance_m=2.0, min_distance_m=0.2
+    )
+    import dataclasses as dc
+    from voxblox_tpu.core import layer as vl
+    e1 = vl.make_layer("esdf", VOXEL, vps=16, max_blocks=64)
+    e1, _, _ = esdf_ops.update_from_tsdf_batch(e1, layer, base)
+    e2 = vl.make_layer("esdf", VOXEL, vps=16, max_blocks=64)
+    e2, _, _ = esdf_ops.update_from_tsdf_batch(
+        e2, layer, dc.replace(base, use_pallas_kernel=True)
+    )
+    det = evaluation.evaluate_layers_rmse(e1, e2)
+    assert det.num_evaluated_voxels > 10000
+    assert det.rmse < 5e-3, str(det)

@@ -78,6 +78,9 @@ class EsdfIntegratorConfig:
     # pool). Sweep work scales with this, not with max_blocks; rows beyond
     # the budget are reported via the overflow flag.
     max_active_blocks: Optional[int] = None
+    # Run the fused Pallas relaxation kernel (TPU; quasi-euclidean only —
+    # full-euclidean keeps the XLA path). Interpreted on other backends.
+    use_pallas_kernel: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -446,14 +446,41 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
         dd, pp, changed, it = state
         return changed & (it < cfg.max_outer_sweeps)
 
+    use_pallas = (
+        cfg.use_pallas_kernel and not full_euclid
+        and esdf_layer.vps == 16
+    )
+    if use_pallas:
+        import jax as _jax
+
+        from .pallas import esdf_relax as _pk
+
+        pallas_interpret = _jax.default_backend() != "tpu"
+
     def outer_body(state):
         dd, pp, _, it = state
         d_pad = _padded(view, dd, nbr, jnp.float32(0.0))
         obs_pad = _padded(view, obs_f, nbr, jnp.float32(0.0)) > 0.5
+        d0 = dd
+
+        if use_pallas:
+            # Fused kernel: inner_sweeps relaxations per VMEM residency.
+            upd_pad = jnp.zeros(d_pad.shape, jnp.float32).at[
+                :, 1:-1, 1:-1, 1:-1
+            ].set(upd_mask.astype(jnp.float32))
+            out_pad = _pk.relax_padded(
+                d_pad, obs_pad.astype(jnp.float32), upd_pad,
+                cfg.inner_sweeps, esdf_layer.voxel_size,
+                cfg.max_distance_m, cfg.min_diff_m,
+                interpret=pallas_interpret,
+            )
+            dd = out_pad[:, 1:-1, 1:-1, 1:-1]
+            changed = jnp.any(jnp.abs(dd - d0) > cfg.min_diff_m)
+            return dd, pp, changed, it + 1
+
         src_pad = obs_pad & (jnp.abs(d_pad) < cfg.max_distance_m)
         if full_euclid:
             p_pad = _padded(view, pp, nbr, jnp.int32(_PARENT_ZERO))
-        d0 = dd
 
         def inner(i, carry):
             di, pi = carry
