@@ -248,9 +248,9 @@ def _unpack_parent(p):
     return (p >> 16) - 128, ((p >> 8) & 0xFF) - 128, (p & 0xFF) - 128
 
 
-_PARENT_ZERO = int(np.asarray(_pack_parent(
-    jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-    jnp.zeros((), jnp.int32))))
+# Packed (0,0,0): (128<<16)|(128<<8)|128. Plain int — no device arrays at
+# import time (the TPU tunnel hook makes import-time backend init hazardous).
+_PARENT_ZERO = (128 << 16) | (128 << 8) | 128
 
 
 def _relax_once(d_pad, obs_pad, src_pad, d, upd_mask, voxel_size, cfg,
