@@ -212,3 +212,55 @@ def test_layer_msg_roundtrip_and_actions(rng):
         bytes([conversions.RESET]) + msg2[1:], rx
     )
     assert int(rx3.active_mask().sum()) == 1
+
+
+def test_golden_file_from_cpp_protobuf(tmp_path):
+    """Cross-implementation interop: a .vxblx written by a C++ program
+    through google::protobuf coded streams (the reference's framing,
+    protobuf_utils.cc) must load bit-exactly through the Python reader."""
+    import subprocess
+    import shutil
+
+    if shutil.which("g++") is None or shutil.which("protoc") is None:
+        pytest.skip("no native toolchain")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    build = os.path.join(tmp_path, "build")
+    os.makedirs(build)
+    proto_dir = os.path.join(root, "voxblox_tpu", "io", "proto")
+    subprocess.run(
+        ["protoc", f"-I{proto_dir}", f"--cpp_out={build}",
+         os.path.join(proto_dir, "voxblox", "Layer.proto"),
+         os.path.join(proto_dir, "voxblox", "Block.proto")],
+        check=True,
+    )
+    exe = os.path.join(build, "golden_writer")
+    subprocess.run(
+        ["g++", "-std=c++17", "-I" + build,
+         os.path.join(root, "csrc", "golden_writer.cc"),
+         os.path.join(build, "voxblox", "Layer.pb.cc"),
+         os.path.join(build, "voxblox", "Block.pb.cc"),
+         "-lprotobuf", "-o", exe],
+        check=True, capture_output=True,
+    )
+    golden = os.path.join(tmp_path, "golden.vxblx")
+    subprocess.run([exe, golden], check=True)
+
+    layer = layer_io.load_layer(golden, "tsdf", max_blocks=16)
+    assert layer.vps == 4
+    assert abs(layer.voxel_size - 0.25) < 1e-9
+    slot = vlayer.lookup_blocks(
+        layer, jnp.asarray([[1, -2, 0]], jnp.int32)
+    )
+    assert int(slot[0]) >= 0
+    d = np.asarray(layer.channels["tsdf"])[int(slot[0])].reshape(-1)
+    w = np.asarray(layer.channels["weight"])[int(slot[0])].reshape(-1)
+    c = np.asarray(layer.channels["color"])[int(slot[0])].reshape(-1, 3)
+    i = np.arange(64)
+    i32 = i.astype(np.float32)
+    want_d = np.float32(0.01) * i32 - np.float32(0.3)  # C++ float math
+    want_w = np.float32(0.5) + np.float32(0.01) * i32
+    np.testing.assert_array_equal(d, want_d)
+    np.testing.assert_array_equal(w, want_w)
+    np.testing.assert_array_equal(c[:, 0], (i * 3) % 256)
+    np.testing.assert_array_equal(c[:, 1], (i * 5) % 256)
+    np.testing.assert_array_equal(c[:, 2], (i * 7) % 256)
