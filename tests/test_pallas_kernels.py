@@ -84,3 +84,57 @@ def test_sweep_with_pallas_flag_matches_xla():
     det = evaluation.evaluate_layers_rmse(e1, e2)
     assert det.num_evaluated_voxels > 10000
     assert det.rmse < 5e-3, str(det)
+
+
+def test_window_gather_interpret(rng):
+    """Coherent window gather == direct indexing (interpreter mode)."""
+    from voxblox_tpu.ops.pallas import window_gather as wg
+
+    H, W, C = 48, 320, 4
+    img = rng.uniform(0, 10, (H, W, C)).astype(np.float32)
+    windows = wg.build_windows(jnp.asarray(img))
+    hb, wb = windows.shape[0], windows.shape[1]
+
+    G = 6
+    # Coherent groups: small windows of coordinates.
+    vi = np.zeros((G, 128), np.int32)
+    ui = np.zeros((G, 128), np.int32)
+    valid = np.ones((G, 128), bool)
+    for g in range(G):
+        v0 = rng.integers(0, H - 8)
+        u0 = rng.integers(0, W - 100)
+        vi[g] = v0 + rng.integers(0, 7, 128)
+        ui[g] = u0 + rng.integers(0, 100, 128)
+    valid[0, :5] = False  # some invalid lanes
+
+    vb, ub, vloc, uloc, in_win = wg.plan_groups(
+        jnp.asarray(vi), jnp.asarray(ui), jnp.asarray(valid), hb, wb
+    )
+    assert bool(jnp.all(in_win == jnp.asarray(valid)))
+    out = wg.window_gather(windows, vb, ub, vloc, uloc, interpret=True)
+    out = np.asarray(out)
+    for g in range(G):
+        for l in range(128):
+            if valid[g, l]:
+                np.testing.assert_allclose(
+                    out[g, l], img[vi[g, l], ui[g, l]], rtol=1e-6,
+                    err_msg=f"group {g} lane {l}",
+                )
+
+
+def test_window_gather_span_fallback(rng):
+    """Groups whose pixel span exceeds the window report fallback lanes."""
+    from voxblox_tpu.ops.pallas import window_gather as wg
+
+    H, W, C = 48, 640, 2
+    img = rng.uniform(0, 1, (H, W, C)).astype(np.float32)
+    windows = wg.build_windows(jnp.asarray(img))
+    hb, wb = windows.shape[0], windows.shape[1]
+    vi = np.full((1, 128), 4, np.int32)
+    ui = np.linspace(0, 500, 128).astype(np.int32)[None]  # span > 256
+    valid = np.ones((1, 128), bool)
+    vb, ub, vloc, uloc, in_win = wg.plan_groups(
+        jnp.asarray(vi), jnp.asarray(ui), jnp.asarray(valid), hb, wb
+    )
+    in_win = np.asarray(in_win)
+    assert in_win[0, 0] and not in_win[0, -1]
