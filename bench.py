@@ -54,18 +54,22 @@ def main():
         default_truncation_distance=4 * voxel, max_ray_length_m=5.0
     )
 
-    # Pre-render scans from a circle of poses (device arrays). One jitted
-    # function covers render + frame conversion (eager chains are slow to
-    # warm through the remote-compile path).
+    # Pre-render scans from a circle of poses (device arrays). The sensor
+    # delivers ORGANIZED (raster-ordered) clouds — like the Kinect's PCL
+    # organized clouds the reference's cow-and-lady pipeline subscribes
+    # to — enabling the scatter-free min-pool binning path. One jitted
+    # function covers the render (eager chains are slow to warm through
+    # the remote-compile path).
     n_poses = 16
+    fx = res[0] / (2.0 * np.tan(np.deg2rad(60.0) / 2.0))
+    intrinsics = (fx, fx, res[0] / 2.0, res[1] / 2.0)
 
     @jax.jit
     def make_scan(origin, view):
         R = sw.rotation_from_two_vectors(jnp.asarray([0.0, 0.0, 1.0]), view)
-        pts_G, colors, valid = sw.pointcloud_from_viewpoint(
-            objs, origin, view, res, np.deg2rad(60.0), 8.0
+        pts_C, colors, valid, _ = sw.organized_pointcloud_from_transform(
+            objs, (R, origin), res, np.deg2rad(60.0), 8.0
         )
-        pts_C = sw.world_points_to_sensor((R, origin), pts_G, valid)
         return R, pts_C, colors
 
     scans = []
@@ -97,12 +101,15 @@ def main():
     def run_epoch(layer, n_rounds):
         for _ in range(n_rounds):
             for Rs, ts, pts, cols in batches:
-                layer, _ = projective.integrate_pointcloud_projective_batch(
+                layer, _ = projective.integrate_organized_projective_batch(
                     layer, Rs, ts, pts, cols, cfg,
-                    resolution=virt, fov_h_rad=float(np.deg2rad(60.0)),
-                    max_visible_blocks=320, max_mixed_blocks=192,
+                    intrinsics=intrinsics, pool=res[0] // virt[0],
+                    max_visible_blocks=320, max_mixed_slabs=3072,
                 )
-        jax.block_until_ready(layer.channels["tsdf"])
+        # Force a device->host readback: through the remote-TPU tunnel,
+        # block_until_ready alone can under-wait; reading a scalar derived
+        # from the result guarantees the full chain executed.
+        float(jnp.sum(layer.channels["weight"][:1]))
         return layer
 
     # Warmup (compile + allocate).

@@ -123,6 +123,55 @@ def test_range_image_binning():
     assert color[cv, cu, 0] == 255
 
 
+def test_organized_matches_unstructured():
+    """The scatter-free organized (min-pool) binning path integrates to
+    the same map as scatter-binning the same rays unstructured."""
+    w, objs = _scene()
+    cfg = TsdfIntegratorConfig(
+        default_truncation_distance=TRUNC, max_ray_length_m=10.0
+    )
+    res = (160, 120)
+    fx = res[0] / (2.0 * np.tan(FOV / 2.0))
+    intr = (fx, fx, res[0] / 2.0, res[1] / 2.0)
+    org = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    uns = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    poses, scans = [], []
+    for R, t in _poses(4):
+        pts_C, colors, valid, intr2 = sw.organized_pointcloud_from_transform(
+            objs, (R, t), res, FOV, max_dist=10.0
+        )
+        assert np.allclose(intr2, intr)
+        org, ovf = projective.integrate_organized_projective(
+            org, (R, t), pts_C, colors, cfg, intrinsics=intr, pool=2
+        )
+        assert not bool(ovf)
+        uns, _ = projective.integrate_pointcloud_projective(
+            uns, (R, t), pts_C.reshape(-1, 3), colors.reshape(-1, 3), cfg,
+            resolution=(res[0] // 2, res[1] // 2), fov_h_rad=FOV,
+        )
+        poses.append((R, t))
+        scans.append((pts_C, colors))
+    det = evaluation.evaluate_layers_rmse(uns, org)
+    print("organized vs unstructured:", det)
+    assert det.num_evaluated_voxels > 10000
+    # Same virtual resolution, nearly identical binning (sub-pixel center
+    # offsets only) -> maps agree closely.
+    assert det.rmse < 0.25 * VOXEL, str(det)
+
+    # Batched organized == sequential organized.
+    Rs = jnp.stack([p[0] for p in poses])
+    ts = jnp.stack([p[1] for p in poses])
+    pts = jnp.stack([s[0] for s in scans])
+    cols = jnp.stack([s[1] for s in scans])
+    bat = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    bat, ovf = projective.integrate_organized_projective_batch(
+        bat, Rs, ts, pts, cols, cfg, intrinsics=intr, pool=2
+    )
+    assert not bool(ovf)
+    det2 = evaluation.evaluate_layers_rmse(org, bat)
+    assert det2.rmse < 2e-3, str(det2)
+
+
 def test_batch_matches_sequential():
     """K-scan batched integration == K sequential calls (associative
     accumulation; the running average telescopes)."""

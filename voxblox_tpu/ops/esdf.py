@@ -450,26 +450,30 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
         cfg.use_pallas_kernel and not full_euclid
         and esdf_layer.vps == 16
     )
+    # The observed/update halo arrays do not change across outer
+    # iterations — build them once, outside the while loop (only the
+    # distance halo must be re-exchanged per outer).
+    obs_pad = _padded(view, obs_f, nbr, jnp.float32(0.0)) > 0.5
     if use_pallas:
         import jax as _jax
 
         from .pallas import esdf_relax as _pk
 
         pallas_interpret = _jax.default_backend() != "tpu"
+        obs_pad_f = obs_pad.astype(jnp.float32)
+        upd_pad = jnp.zeros(obs_pad.shape, jnp.float32).at[
+            :, 1:-1, 1:-1, 1:-1
+        ].set(upd_mask.astype(jnp.float32))
 
     def outer_body(state):
         dd, pp, _, it = state
         d_pad = _padded(view, dd, nbr, jnp.float32(0.0))
-        obs_pad = _padded(view, obs_f, nbr, jnp.float32(0.0)) > 0.5
         d0 = dd
 
         if use_pallas:
             # Fused kernel: inner_sweeps relaxations per VMEM residency.
-            upd_pad = jnp.zeros(d_pad.shape, jnp.float32).at[
-                :, 1:-1, 1:-1, 1:-1
-            ].set(upd_mask.astype(jnp.float32))
             out_pad = _pk.relax_padded(
-                d_pad, obs_pad.astype(jnp.float32), upd_pad,
+                d_pad, obs_pad_f, upd_pad,
                 cfg.inner_sweeps, esdf_layer.voxel_size,
                 cfg.max_distance_m, cfg.min_diff_m,
                 interpret=pallas_interpret,

@@ -116,18 +116,34 @@ def _march_rows(layer: vlayer.VoxelLayer, rows, min_weight: float,
                 use_color: bool):
     """March all vps^3 cubes of the selected pool rows.
 
+    Works on TSDF and ESDF layers (the reference MeshIntegrator is
+    templated over the voxel type, mesh_integrator.h:72-90): the SDF
+    channel and the per-corner validity test dispatch on layer_type —
+    weight > min_weight for TSDF, the observed flag for ESDF
+    (utils/meshing_utils.h:11-49 getSdfIfValid specializations).
+
     rows: int32[B] pool rows (may include padding -1 -> masked out).
     Returns (tri_verts f32[B, C, 5, 3, 3], tri_mask bool[B, C, 5],
     tri_colors f32[B, C, 5, 3, 3]) with C = vps^3 cubes.
     """
     v = layer.vps
     nbr = neighbor_slot_table(layer)
-    sdf_pad = build_padded(
-        layer, layer.channels["tsdf"], nbr, jnp.float32(0.0)
-    )
-    w_pad = build_padded(
-        layer, layer.channels["weight"], nbr, jnp.float32(0.0)
-    )
+    if layer.layer_type == "esdf":
+        sdf_pad = build_padded(
+            layer, layer.channels["esdf"], nbr, jnp.float32(0.0)
+        )
+        flags_pad = build_padded(
+            layer, layer.channels["esdf_flags"], nbr, jnp.uint8(0)
+        )
+        w_pad = ((flags_pad & vlayer.ESDF_OBSERVED) != 0).astype(jnp.float32)
+        min_weight = 0.5  # validity = observed flag
+    else:
+        sdf_pad = build_padded(
+            layer, layer.channels["tsdf"], nbr, jnp.float32(0.0)
+        )
+        w_pad = build_padded(
+            layer, layer.channels["weight"], nbr, jnp.float32(0.0)
+        )
     row_ok = rows >= 0
     safe_rows = jnp.where(row_ok, rows, 0)
     sdf_pad = sdf_pad[safe_rows]  # [B, v+2, v+2, v+2]
@@ -236,13 +252,14 @@ def generate_mesh(
         rows_mask = layer.active_mask()
     rows = np.nonzero(np.asarray(rows_mask))[0].astype(np.int32)
     block_ijk = np.asarray(layer.block_ijk)
+    use_color = cfg.use_color and "color" in layer.channels
 
     for s in range(0, len(rows), batch):
         chunk = rows[s : s + batch]
         pad = np.full(batch, -1, np.int32)
         pad[: len(chunk)] = chunk
         tv, tm, tc = _march_rows(
-            layer, jnp.asarray(pad), cfg.min_weight, cfg.use_color
+            layer, jnp.asarray(pad), cfg.min_weight, use_color
         )
         tv, tm, tc = np.asarray(tv), np.asarray(tm), np.asarray(tc)
         for bi, row in enumerate(chunk):

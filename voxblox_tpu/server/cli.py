@@ -90,11 +90,19 @@ def cmd_eval(args):
 def cmd_mesh(args):
     from ..io import layer_io, ply
     from ..ops import mesh as mesh_ops
+    from ..utils import mesh_vis
 
-    layer = layer_io.load_layer(args.map, "tsdf", max_blocks=args.max_blocks)
+    layer = layer_io.load_layer(
+        args.map, args.layer, max_blocks=args.max_blocks
+    )
     ml = mesh_ops.MeshLayer(layer.block_size)
     mesh_ops.generate_mesh(layer, ml, only_updated=False)
-    ply.mesh_layer_to_ply(ml, args.output, connected=not args.soup)
+    if args.color_mode == "color" and args.layer == "tsdf":
+        ply.mesh_layer_to_ply(ml, args.output, connected=not args.soup)
+    else:
+        mode = "gray" if (args.color_mode == "color") else args.color_mode
+        mesh_vis.export_mesh(ml, args.output, mode=mode,
+                             connected=not args.soup)
     print(f"{ml.num_vertices()} vertices -> {args.output}")
     return 0
 
@@ -174,6 +182,13 @@ def main(argv=None):
     me.add_argument("output")
     me.add_argument("--soup", action="store_true",
                     help="raw triangle soup (no vertex welding)")
+    me.add_argument("--layer", default="tsdf", choices=["tsdf", "esdf"],
+                    help="which layer of the file to mesh (the reference "
+                         "MeshIntegrator is templated over voxel type)")
+    me.add_argument("--color-mode", default="color",
+                    choices=["color", "height", "normals", "gray",
+                             "lambert", "lambert_color"],
+                    help="vertex color mode (mesh_vis.h:44-51)")
     me.add_argument("--max-blocks", type=int, default=8192)
     me.set_defaults(fn=cmd_mesh)
 

@@ -193,6 +193,59 @@ def pointcloud_from_transform(objects, T_G_C, camera_res, fov_h_rad, max_dist,
     )
 
 
+def organized_pointcloud_from_transform(
+    objects: ObjectSet,
+    T_G_C,
+    camera_res,
+    fov_h_rad,
+    max_dist,
+    noise_sigma: float = 0.0,
+    noise_key=None,
+):
+    """Render an ORGANIZED scan: raster-ordered sensor-frame points.
+
+    Real depth cameras deliver organized clouds (PCL organized point
+    clouds from the Kinect — exactly what the reference's cow-and-lady
+    pipeline subscribes to); this renders the same structure: pixel
+    (row v, col u) of the returned [H, W, 3] array satisfies
+    ``u == round(x/z * fx + cx)`` for the returned intrinsics, with +z
+    forward in the frame of ``T_G_C = (R, t)``.
+
+    Returns (points_C f32[H,W,3] (0 where invalid), colors f32[H,W,3],
+    valid bool[H,W], intrinsics (fx, fy, cx, cy)).
+    """
+    w, h = camera_res
+    focal = w / (2.0 * np.tan(fov_h_rad / 2.0))
+    cx, cy = w / 2.0, h / 2.0
+    u = jnp.arange(w, dtype=jnp.float32) - cx
+    v = jnp.arange(h, dtype=jnp.float32) - cy
+    vv, uu = jnp.meshgrid(v, u, indexing="ij")  # [h, w] row-major raster
+    dirs_C = jnp.stack(
+        [uu / focal, vv / focal, jnp.ones_like(uu)], axis=-1
+    ).reshape(-1, 3)
+    dirs_C = dirs_C / jnp.linalg.norm(dirs_C, axis=-1, keepdims=True)
+    R, tr = T_G_C
+    dirs_G = dirs_C @ R.T
+    origin = jnp.asarray(tr, jnp.float32)
+    t = sim_objects.object_ray_intersections(
+        objects, jnp.broadcast_to(origin, dirs_G.shape), dirs_G
+    )
+    tmin = jnp.min(t, axis=-1)
+    arg = jnp.argmin(t, axis=-1)
+    valid = jnp.isfinite(tmin) & (tmin <= max_dist)
+    if noise_sigma > 0.0 and noise_key is not None:
+        tmin = tmin + noise_sigma * jax.random.normal(noise_key, tmin.shape)
+    tmin = jnp.where(valid, tmin, 0.0)
+    points_C = dirs_C * tmin[:, None]
+    colors = objects.color[arg]
+    return (
+        points_C.reshape(h, w, 3),
+        colors.reshape(h, w, 3),
+        valid.reshape(h, w),
+        (focal, focal, cx, cy),
+    )
+
+
 def world_points_to_sensor(T_G_C, points_G, valid):
     """Inverse-transform world points into the sensor frame; invalid lanes
     get a zero point (rejected by min_ray_length)."""
