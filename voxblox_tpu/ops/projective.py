@@ -168,7 +168,9 @@ def build_pinhole_range_image_organized(points_C, colors, pool: int,
     so a source pixel i maps to virtual pixel i // pool exactly.
     """
     h, w, _ = points_C.shape
-    assert h % pool == 0 and w % pool == 0, (h, w, pool)
+    assert h % pool == 0 and w % pool == 0, (
+        f"pool={pool} must divide the organized image shape ({h}, {w})"
+    )
     fx, fy, cx, cy = intrinsics
     hv, wv = h // pool, w // pool
     r = jnp.linalg.norm(points_C, axis=-1)
@@ -586,6 +588,11 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     v = layer.vps
     ys, n_yh, n_slabs, slab_vox = _slab_shape(v)
     B = max_visible_blocks
+    if max_mixed_slabs is None:
+        # Safe default: budget for every slab of every visible row — no
+        # update can ever be dropped. Throughput-tuned callers (bench)
+        # pass a tight budget instead; overflow is then flagged.
+        max_mixed_slabs = B * n_slabs
     h, w = img.rng.shape
     trunc = cfg.default_truncation_distance
     clear_depth = cfg.max_ray_length_m - trunc
@@ -781,7 +788,7 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
 def integrate_range_image(layer, T_G_C, img: RangeImage,
                           cfg: TsdfIntegratorConfig, use_color: bool = True,
                           max_visible_blocks: int = 512,
-                          max_mixed_slabs: int = 4096):
+                          max_mixed_slabs: int | None = None):
     """Integrate a pre-binned range image. Returns (layer, overflowed)."""
     R, t = T_G_C if isinstance(T_G_C, tuple) else (T_G_C[:3, :3], T_G_C[:3, 3])
     return _integrate_image_jit(
@@ -802,7 +809,8 @@ def integrate_pointcloud_projective(
     layer, T_G_C, points_C, colors, cfg: TsdfIntegratorConfig,
     resolution=(320, 240), fov_h_rad: float = float(np.deg2rad(90.0)),
     kind: str = "pinhole", use_color: bool = True,
-    max_visible_blocks: int = 512, max_mixed_slabs: int = 4096,
+    max_visible_blocks: int = 512,
+    max_mixed_slabs: int | None = None,
 ):
     """Point-cloud front end: bin into a range image, then integrate.
 
@@ -832,7 +840,8 @@ def integrate_pointcloud_projective(
 def integrate_organized_projective(
     layer, T_G_C, points_C, colors, cfg: TsdfIntegratorConfig,
     intrinsics, pool: int = 2, use_color: bool = True,
-    max_visible_blocks: int = 512, max_mixed_slabs: int = 4096,
+    max_visible_blocks: int = 512,
+    max_mixed_slabs: int | None = None,
 ):
     """Organized-cloud front end (points_C f32[H,W,3] raster-ordered):
     min-pool binning (no scatters) + integrate. ``intrinsics`` is the
@@ -945,7 +954,8 @@ def integrate_pointcloud_projective_batch(
     layer, Rs, ts, points_C, colors, cfg: TsdfIntegratorConfig,
     resolution=(320, 240), fov_h_rad: float = float(np.deg2rad(90.0)),
     kind: str = "pinhole", use_color: bool = True,
-    max_visible_blocks: int = 512, max_mixed_slabs: int = 4096,
+    max_visible_blocks: int = 512,
+    max_mixed_slabs: int | None = None,
 ):
     """Integrate K posed scans in one dispatch.
 
@@ -975,7 +985,8 @@ def integrate_pointcloud_projective_batch(
 def integrate_organized_projective_batch(
     layer, Rs, ts, points_C, colors, cfg: TsdfIntegratorConfig,
     intrinsics, pool: int = 2, use_color: bool = True,
-    max_visible_blocks: int = 512, max_mixed_slabs: int = 4096,
+    max_visible_blocks: int = 512,
+    max_mixed_slabs: int | None = None,
 ):
     """Batched organized-cloud integration: points_C f32[K,H,W,3]
     raster-ordered; binning is scatter-free min-pooling (the throughput

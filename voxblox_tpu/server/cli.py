@@ -160,7 +160,7 @@ def main(argv=None):
     sb = sub.add_parser("sim-bench", help="synthetic end-to-end benchmark")
     sb.add_argument("--voxel-size", type=float, default=0.1)
     sb.add_argument("--method", default="merged",
-                    choices=["simple", "merged", "fast"])
+                    choices=["simple", "merged", "fast", "projective"])
     sb.add_argument("--viewpoints", type=int, default=20)
     sb.add_argument("--width", type=int, default=320)
     sb.add_argument("--height", type=int, default=240)

@@ -422,12 +422,22 @@ class SimulationServer:
             )
             pts_C = sw.world_points_to_sensor(pose, pts_G, valid)
         with timing.timer(f"integrate/{self.method}"):
-            self.tsdf_layer, self.fast_state, overflow = (
-                tsdf_ops.integrate_pointcloud(
-                    self.tsdf_layer, pose, pts_C, colors, self.tsdf_cfg,
-                    method=self.method, state=self.fast_state,
+            if self.method == "projective":
+                from ..ops import projective as projective_ops
+
+                self.tsdf_layer, overflow = (
+                    projective_ops.integrate_pointcloud_projective(
+                        self.tsdf_layer, pose, pts_C, colors, self.tsdf_cfg,
+                        resolution=self.camera_res, fov_h_rad=float(self.fov),
+                    )
                 )
-            )
+            else:
+                self.tsdf_layer, self.fast_state, overflow = (
+                    tsdf_ops.integrate_pointcloud(
+                        self.tsdf_layer, pose, pts_C, colors, self.tsdf_cfg,
+                        method=self.method, state=self.fast_state,
+                    )
+                )
             jax.block_until_ready(self.tsdf_layer.channels["tsdf"])
         assert not bool(overflow), "pool overflow"
         if self.incremental_esdf:
