@@ -71,7 +71,9 @@ class EsdfIntegratorConfig:
     clear_sphere_radius: float = 1.5
     occupied_sphere_radius: float = 5.0
     # TPU-specific sweep scheduling: inner relaxations per halo rebuild.
-    inner_sweeps: int = 4
+    # 8 measured fastest on a v5e (vs 4: fewer halo rebuilds; vs 16: less
+    # converged-region oversweep).
+    inner_sweeps: int = 8
     # Hard cap on outer sweep iterations per update (convergence guard).
     max_outer_sweeps: int = 64
     # Static budget of pool rows materialized per sweep (None = whole
