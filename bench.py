@@ -85,9 +85,10 @@ def main():
         scans.append((R, pos, pts_C, colors))
     jax.block_until_ready(scans[-1][2])
 
-    # Throughput mode: batches of 8 scans per dispatch (associative
-    # accumulation makes this exactly sequential-equivalent).
-    K = 8
+    # Throughput mode: 16 scans per dispatch (associative accumulation
+    # makes this exactly sequential-equivalent; one dispatch per round
+    # amortizes the remote-dispatch overhead).
+    K = 16
     batches = []
     for s0 in range(0, n_poses, K):
         group = scans[s0 : s0 + K]
