@@ -15,6 +15,7 @@ Usage: ``python -m voxblox_tpu.server.cli <subcommand> ...``
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 
@@ -133,6 +134,50 @@ def cmd_tsdf_to_esdf(args):
     return 0
 
 
+def cmd_replay(args):
+    """Replay a ROS1 bag (cow-and-lady style: PointCloud2 + transform
+    topic, cow_and_lady_dataset.launch wiring) through a mapper service."""
+    import numpy as np
+
+    from ..core.config import (MapConfig, TsdfIntegratorConfig,
+                               derive_defaults)
+    from ..io import layer_io, rosbag
+    from ..server.mapper import EsdfServer, TsdfServer
+
+    tcfg, ecfg = derive_defaults(args.voxel_size)
+    tcfg = dataclasses.replace(tcfg, max_ray_length_m=args.max_ray_length)
+    map_cfg = MapConfig(voxel_size=args.voxel_size,
+                        max_blocks=args.max_blocks)
+    if args.esdf:
+        srv = EsdfServer(map_cfg, integrator_config=tcfg,
+                         esdf_config=ecfg, method=args.method)
+    else:
+        srv = TsdfServer(map_cfg, integrator_config=tcfg,
+                         method=args.method)
+    stats = rosbag.run_rosbag(
+        srv, args.bag,
+        pointcloud_topic=args.pointcloud_topic,
+        pose_topic=args.pose_topic,
+        child_frame_id=args.child_frame,
+        update_esdf_every=5 if args.esdf else 0,
+    )
+    print(stats)
+    if args.output_map:
+        layer_io.save_layer(srv.layer, args.output_map)
+        if args.esdf:
+            layer_io.save_layer(srv.esdf_layer, args.output_map, append=True)
+        print(f"map written to {args.output_map}")
+    if args.output_mesh:
+        from ..io import ply
+        from ..ops import mesh as mesh_ops
+
+        ml = mesh_ops.MeshLayer(srv.layer.block_size)
+        mesh_ops.generate_mesh(srv.layer, ml, only_updated=False)
+        ply.mesh_layer_to_ply(ml, args.output_mesh)
+        print(f"mesh written to {args.output_mesh}")
+    return 0
+
+
 def cmd_info(args):
     from ..io import layer_io
 
@@ -198,6 +243,24 @@ def main(argv=None):
     te.add_argument("--max-distance", type=float, default=2.0)
     te.add_argument("--max-blocks", type=int, default=8192)
     te.set_defaults(fn=cmd_tsdf_to_esdf)
+
+    rp = sub.add_parser("replay", help="replay a ROS1 bag into a map")
+    rp.add_argument("bag")
+    rp.add_argument("--pointcloud-topic",
+                    default="/camera/depth_registered/points")
+    rp.add_argument("--pose-topic",
+                    default="/kinect/vrpn_client/estimated_transform")
+    rp.add_argument("--child-frame", default=None,
+                    help="filter TFMessage streams by child_frame_id")
+    rp.add_argument("--voxel-size", type=float, default=0.05)
+    rp.add_argument("--max-ray-length", type=float, default=5.0)
+    rp.add_argument("--max-blocks", type=int, default=8192)
+    rp.add_argument("--method", default="fast",
+                    choices=["simple", "merged", "fast", "projective"])
+    rp.add_argument("--esdf", action="store_true")
+    rp.add_argument("--output-map", default=None)
+    rp.add_argument("--output-mesh", default=None)
+    rp.set_defaults(fn=cmd_replay)
 
     inf = sub.add_parser("info", help="print layer headers of a map file")
     inf.add_argument("map")

@@ -195,4 +195,9 @@ def run_dataset(
             server.update_esdf()
         if update_mesh_every and (i + 1) % update_mesh_every == 0:
             server.update_mesh()
+    # Final flush for tail frames (periodic-timer semantics at bag end).
+    if update_esdf_every and stats["integrated"] % update_esdf_every:
+        server.update_esdf()
+    if update_mesh_every and stats["integrated"] % update_mesh_every:
+        server.update_mesh()
     return stats
