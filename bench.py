@@ -180,9 +180,13 @@ def _secondary(jax, jnp, np, layer, voxel, esdf_ops, render_ops,
     depth, hit = render_ops.render_depth(layer, origins, dirs, 8.0)
     jax.block_until_ready(depth)
     t0 = time.perf_counter()
-    for _ in range(4):
-        depth, hit = render_ops.render_depth(layer, origins, dirs, 8.0)
-    jax.block_until_ready(depth)
+    for i in range(4):
+        # Vary the origin per call: identical inputs can be memoized
+        # somewhere in the remote-TPU path (see CLAUDE.md).
+        depth, hit = render_ops.render_depth(
+            layer, origins + np.float32(1e-4 * (i + 1)), dirs, 8.0
+        )
+    float(depth[0])  # readback-forced sync
     rays_per_sec = 4 * n_rays / (time.perf_counter() - t0)
 
     print(

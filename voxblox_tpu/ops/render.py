@@ -87,7 +87,8 @@ def surface_distance_along_rays(
     return t, hit
 
 
-@partial(jax.jit, static_argnames=("max_steps", "with_color", "max_distance"))
+@partial(jax.jit, static_argnames=("max_steps", "with_color", "max_distance",
+                                   "dense_grid_dim"))
 def render_depth(
     layer: vlayer.VoxelLayer,
     origins,
@@ -95,12 +96,17 @@ def render_depth(
     max_distance: float,
     max_steps: int = 0,
     with_color: bool = False,
+    dense_grid_dim: int = 64,
 ):
     """Differentiable depth (and color) along rays.
 
     origins/dirs f32[R,3], dirs unit. Returns (depth [R], hit [R]) or
     (depth, color [R,3], hit). ``depth`` carries gradients to the voxel
     SDF channel; color to the color channel.
+
+    ``dense_grid_dim``: side of the dense block->slot acceleration grid
+    (see below); maps larger than dense_grid_dim blocks per axis treat
+    out-of-grid blocks as empty (raise it for very large maps).
     """
     vs = layer.voxel_size
     bs = layer.block_size
@@ -109,29 +115,58 @@ def render_depth(
         # plus near-surface voxel steps; keep a generous bound.
         max_steps = int(max_distance / vs * 0.6) + int(max_distance / bs) + 16
 
-    # Per-block "may contain a surface" mask: any observed voxel within
-    # 2 voxels of the zero crossing. Blocks without it are safely skipped
-    # whole (AABB exit step) — the big win over per-voxel marching through
-    # clamped free space.
+    # March acceleration structures, built once per call (a dense pass
+    # over the pool — cheap next to per-ray-step random access):
+    # - a dense block->slot grid over the active map's bounding box with
+    #   the "may contain a surface" test folded in: value = pool slot if
+    #   the block has an observed voxel within 2 voxels of the zero
+    #   crossing, else -1 (skip whole block by its AABB exit — identical
+    #   treatment for unallocated and allocated-but-surface-free blocks);
+    # - a packed march field: sdf where observed else +inf.
+    # Each march step then costs TWO random gathers (grid + field) — no
+    # hash probing (the hash path costs ~13 gathers/step: two probe loops
+    # of 3 gathers per probe plus the channel reads).
+    dim = dense_grid_dim
+    active = layer.active_mask()
     surface_block = jnp.any(
         (layer.channels["weight"] > 1e-6)
         & (jnp.abs(layer.channels["tsdf"]) < 2.0 * vs),
         axis=(1, 2, 3),
-    ) & layer.active_mask()
+    ) & active
+    big = jnp.int32(1 << 20)
+    origin_blk = jnp.min(
+        jnp.where(active[:, None], layer.block_ijk, big), axis=0
+    )
+    origin_blk = jnp.where(jnp.any(active), origin_blk, 0)
+    rel = layer.block_ijk - origin_blk
+    inside = jnp.all((rel >= 0) & (rel < dim), axis=-1) & surface_block
+    addr = (rel[:, 0] * dim + rel[:, 1]) * dim + rel[:, 2]
+    dense = jnp.full((dim * dim * dim,), -1, jnp.int32).at[
+        jnp.where(inside, addr, dim * dim * dim)
+    ].set(
+        jnp.arange(layer.max_blocks, dtype=jnp.int32), mode="drop",
+        unique_indices=True,
+    )
+    field = jnp.where(
+        layer.channels["weight"] > 1e-6, layer.channels["tsdf"], jnp.inf
+    ).reshape(-1)
 
+    v = layer.vps
     inv_dirs = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
 
     def step(state):
-        # March on the nearest-voxel field (1 hash lookup per step); the
-        # trilinear field is only sampled once at the end for the Newton
-        # refinement — trilinear-per-step costs ~30 random gathers/step.
         t, done, it = state
         x = origins + t[:, None] * dirs
-        block = grid.point_to_grid_index(x, 1.0 / bs)
-        slot = vlayer.lookup_blocks(layer, block)
-        has_surface = surface_block.at[slot].get(mode="fill",
-                                                 fill_value=False)
-        has_surface = has_surface & (slot >= 0)
+        gvi = grid.point_to_grid_index(x, 1.0 / vs)
+        block, local = grid.split_global(gvi, v)
+        rel = block - origin_blk
+        inb = jnp.all((rel >= 0) & (rel < dim), axis=-1)
+        addr = (rel[:, 0] * dim + rel[:, 1]) * dim + rel[:, 2]
+        sslot = dense.at[jnp.where(inb, addr, 0)].get(
+            mode="fill", fill_value=-1
+        )
+        sslot = jnp.where(inb, sslot, -1)
+        has_surface = sslot >= 0
         # AABB exit distance of the current block along the ray.
         corner = (block + (dirs > 0.0).astype(jnp.int32)).astype(
             jnp.float32
@@ -139,8 +174,11 @@ def render_depth(
         t_exit = jnp.min((corner - x) * inv_dirs, axis=-1)
         skip = jnp.maximum(t_exit, 0.0) + 0.05 * vs
 
-        s, w_nn, found = _nearest_voxel(layer, x)
-        observed = found & (w_nn > 1e-6)
+        lin = grid.local_to_linear(local, v)
+        flat = jnp.where(has_surface,
+                         sslot * layer.voxels_per_block + lin, -1)
+        s = field.at[flat].get(mode="fill", fill_value=jnp.inf)
+        observed = jnp.isfinite(s)
         adv_vox = jnp.where(observed, jnp.maximum(s, 0.6 * vs), vs)
         adv = jnp.where(has_surface, adv_vox, jnp.maximum(skip, vs))
         hit_now = has_surface & observed & (s < 0.6 * vs)
@@ -148,16 +186,24 @@ def render_depth(
         done = done | hit_now | (t >= max_distance)
         return t, done, it + 1
 
+    def step8(state):
+        # 8 march steps per while iteration: amortizes the loop's
+        # all-done reduction and per-iteration overhead (measured ~2x
+        # on a v5e vs one step per iteration).
+        for _ in range(8):
+            state = step(state)
+        return state
+
     t0 = jnp.full((dirs.shape[0],), 0.0, jnp.float32)
     t_raw, done, _ = jax.lax.while_loop(
         lambda st: (~jnp.all(st[1])) & (st[2] < max_steps),
-        step,
+        step8,
         (t0, jnp.zeros(dirs.shape[0], bool), jnp.int32(0)),
     )
     # Two gradient-stopped trilinear refinements pull the stop point into
     # the correct interpolation cell before the differentiable Newton step.
     t_stop = jax.lax.stop_gradient(t_raw)
-    for _ in range(2):
+    for _ in range(8):
         x_r = origins + t_stop[:, None] * dirs
         s_r, v_r = interp.interpolate(layer, x_r)
         t_stop = jax.lax.stop_gradient(
