@@ -571,29 +571,23 @@ def _padded(view_layer, values, nbr, fill):
 # ---------------------------------------------------------------------------
 
 
-def _dilate_rows(layer, rows_mask, radius_blocks: int):
-    """Dilate a block-row mask by N blocks through the hash table."""
-    r = radius_blocks
-    offs = np.array(
-        [
-            (dx, dy, dz)
-            for dx in range(-r, r + 1)
-            for dy in range(-r, r + 1)
-            for dz in range(-r, r + 1)
-        ],
-        np.int32,
-    )
-    src_rows = jnp.nonzero(rows_mask, size=layer.max_blocks, fill_value=-1)[0]
-    src_ok = src_rows >= 0
-    ijk = layer.block_ijk[jnp.where(src_ok, src_rows, 0)]
-    cand = (ijk[:, None, :] + offs[None, :, :]).reshape(-1, 3)
-    slots = vlayer.lookup_blocks(layer, cand).reshape(-1, offs.shape[0])
-    slots = jnp.where(src_ok[:, None], slots, -1)
-    out = jnp.zeros((layer.max_blocks + 1,), bool)
-    out = out.at[jnp.where(slots >= 0, slots, layer.max_blocks).reshape(-1)].set(
-        True
-    )
-    return out[:-1] & layer.active_mask()
+def _dilate_rows(layer, rows_mask, radius_blocks: int, nbr=None):
+    """Dilate a block-row mask by N blocks.
+
+    Iterated 1-ring scatter through the 27-neighbor slot table — the
+    one-shot (2r+1)^3-offset hash dilation costs r^3/ (3*27) times more
+    probes (a 343-offset lookup over the pool dominated the incremental
+    update's overhead)."""
+    if nbr is None:
+        nbr = neighbor_slot_table(layer)
+    mb = layer.max_blocks
+    for _ in range(radius_blocks):
+        idx = jnp.where(rows_mask[:, None] & (nbr >= 0), nbr, mb)
+        rows_mask = (
+            jnp.zeros((mb + 1,), bool).at[idx].set(True, mode="drop")[:-1]
+            | rows_mask
+        )
+    return rows_mask & layer.active_mask()
 
 
 def reset_region(esdf_layer, region_rows, cfg):
@@ -659,11 +653,12 @@ def _incremental_jit(esdf_layer, tsdf_layer, dirty_rows, cfg):
     radius = max(
         1, int(np.ceil(cfg.max_distance_m / esdf_layer.block_size))
     )
-    raise_region = _dilate_rows(esdf_layer, raised_rows, radius)
+    nbr = neighbor_slot_table(esdf_layer)
+    raise_region = _dilate_rows(esdf_layer, raised_rows, radius, nbr=nbr)
     esdf_layer = reset_region(esdf_layer, raise_region, cfg)
     # Sweep region: everything the seeds/resets can influence.
     sweep_region = _dilate_rows(
-        esdf_layer, changed_rows | raise_region, radius
+        esdf_layer, changed_rows | raise_region, radius, nbr=nbr
     )
     esdf_layer, iters = lower_sweep(esdf_layer, cfg, sweep_region)
     tsdf_layer = vlayer.clear_dirty(tsdf_layer, vlayer.DIRTY_ESDF)
