@@ -164,8 +164,8 @@ def esdf_from_occupancy_batch(
     ch["esdf_flags"] = flags.reshape(ch["esdf_flags"].shape)
     esdf_layer = dataclasses.replace(esdf_layer, channels=ch)
 
-    esdf_layer, iters = lower_sweep(esdf_layer, cfg)
-    return esdf_layer, overflow, iters
+    esdf_layer, iters, region_ovf = lower_sweep(esdf_layer, cfg)
+    return esdf_layer, overflow | region_ovf, iters
 
 
 def occupancy_probability(layer: vlayer.VoxelLayer):

@@ -43,80 +43,82 @@ _OFFSETS = [
 _DIST = {o: float(np.linalg.norm(o)) for o in _OFFSETS}
 
 
-def _shift(arr, dx, dy, dz, fill):
-    """Shift the [B*P, LANE_PAD] view so each voxel sees its neighbor at
-    (+dx, +dy, +dz); out-of-block lanes/sublanes become ``fill``.
-
-    arr rows are (block, z), lanes are y*P + x.
-    """
-    rows, lanes = arr.shape
-    out = arr
-    # x/y shift: lane roll by dx + P*dy (roll requires non-negative shift;
-    # rolling by size-shift goes the other way). Voxel at lane l reads
-    # l + dx + P*dy.
-    lane_shift = (-(dx + P * dy)) % LANE_PAD
-    if lane_shift:
-        out = pltpu.roll(out, lane_shift, 1)
-    # z shift: sublane roll within each block's P-row group.
-    if dz:
-        out = pltpu.roll(out, (-dz) % rows, 0)
-    # Validity masks.
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE_PAD), 1)
-    x = lane_ids % P
-    y = lane_ids // P  # includes pad lanes (y >= P invalid anyway)
-    ok = (y < P)
-    if dx:
-        xs = x + dx
-        ok = ok & (xs >= 0) & (xs < P)
-    if dy:
-        ys = y + dy
-        ok = ok & (ys >= 0) & (ys < P)
-    if dz:
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE_PAD), 0)
-        z = row_ids % P
-        zs = z + dz
-        ok = ok & (zs >= 0) & (zs < P)
-    return jnp.where(ok, out, fill)
+# Finite validity sentinel. inf would also work numerically, but finite
+# keeps every lane's arithmetic NaN-free (inf - inf paths) — pad/halo
+# lanes flow through the full sweep math and are discarded by ``upd``.
+BIG = np.float32(1e9)
 
 
 def _relax_kernel(inner_sweeps: int, voxel_size: float, max_distance: float,
                   min_diff: float):
+    """26-neighbor relaxation, mask-free.
+
+    Boundary masks are unnecessary: only interior voxels (x,y,z in
+    [1,16]) carry ``upd``; their +-1 neighbors live at [0,17], so a lane
+    roll never carries x across a y-row (lane = y*P + x with x+-1 within
+    [0,17]) and a sublane roll never crosses a block's 18-row group.
+    Lanes whose reads DO wrap (halo ring, pad lanes >= 324) produce
+    garbage that ``upd`` discards. Source validity (observed and inside
+    the max-distance window) is pre-packed into the values: invalid
+    voxels become +-BIG, which loses every min/max against a real
+    candidate. This halves the rolls (no separate validity shift) and
+    removes all iota/divide mask math from the hot loop; the z-roll is
+    hoisted per dz group (2 sublane rolls per array per sweep instead
+    of 26).
+    """
+
     def kernel(d_ref, obs_ref, upd_ref, out_ref):
         d = d_ref[:]
         obs = obs_ref[:] > 0.5
         upd = upd_ref[:] > 0.5
+        rows = d.shape[0]
 
         def one_sweep(_, d):
             src = obs & (jnp.abs(d) < max_distance)
-            src_f = jnp.where(src, 1.0, 0.0)
             pos = d > 0.0
-            best_pos = jnp.full_like(d, jnp.inf)
-            best_neg = jnp.full_like(d, -jnp.inf)
-            flip_len = jnp.full_like(d, jnp.inf)
-            for (dx, dy, dz) in _OFFSETS:
-                step = np.float32(_DIST[(dx, dy, dz)] * voxel_size)
-                nd = _shift(d, dx, dy, dz, np.float32(0.0))
-                n_ok = _shift(src_f, dx, dy, dz, np.float32(0.0)) > 0.5
-                n_pos = nd > 0.0
-                best_pos = jnp.minimum(
-                    best_pos, jnp.where(n_ok & n_pos, nd + step, jnp.inf)
-                )
-                best_neg = jnp.maximum(
-                    best_neg, jnp.where(n_ok & ~n_pos, nd - step, -jnp.inf)
-                )
-                diff_sign = n_pos != pos
-                potential = nd - jnp.where(n_pos, step, -step)
-                discrepant = jnp.abs(potential - d) > step
-                flip_len = jnp.minimum(
-                    flip_len,
-                    jnp.where(n_ok & diff_sign & discrepant, step, jnp.inf),
-                )
+            # Validity-packed one-sided fields.
+            dp = jnp.where(src & pos, d, BIG)
+            dn = jnp.where(src & ~pos, d, -BIG)
+            best_pos = jnp.full_like(d, BIG)
+            best_neg = jnp.full_like(d, -BIG)
+            flip_len = jnp.full_like(d, BIG)
+            for dz in (-1, 0, 1):
+                dpz = pltpu.roll(dp, (-dz) % rows, 0) if dz else dp
+                dnz = pltpu.roll(dn, (-dz) % rows, 0) if dz else dn
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if (dx, dy, dz) == (0, 0, 0):
+                            continue
+                        step = np.float32(
+                            _DIST[(dx, dy, dz)] * voxel_size
+                        )
+                        ls = (-(dx + P * dy)) % LANE_PAD
+                        ndp = pltpu.roll(dpz, ls, 1) if ls else dpz
+                        ndn = pltpu.roll(dnz, ls, 1) if ls else dnz
+                        best_pos = jnp.minimum(best_pos, ndp + step)
+                        best_neg = jnp.maximum(best_neg, ndn - step)
+                        # Sign-flip rule (esdf_integrator.cc:458-496):
+                        # an opposite-sign neighbor whose projected value
+                        # disagrees by > step caps |d| at step. Positive
+                        # centers test negative neighbors and vice versa.
+                        disc_n = (ndn > -BIG / 2) & (
+                            jnp.abs(ndn + step - d) > step
+                        )
+                        disc_p = (ndp < BIG / 2) & (
+                            jnp.abs(ndp - step - d) > step
+                        )
+                        # (no jnp.where on i1 vectors — Mosaic can't
+                        # lower the i8->i1 select truncation)
+                        tripped = (pos & disc_n) | (~pos & disc_p)
+                        flip_len = jnp.where(
+                            tripped, jnp.minimum(flip_len, step), flip_len
+                        )
             cand = jnp.where(
                 pos, jnp.minimum(d, best_pos), jnp.maximum(d, best_neg)
             )
             sgn = jnp.where(pos, 1.0, -1.0)
             cand = jnp.where(
-                jnp.isfinite(flip_len) & (jnp.abs(cand) > flip_len),
+                (flip_len < BIG / 2) & (jnp.abs(cand) > flip_len),
                 sgn * flip_len, cand,
             )
             improved = jnp.abs(cand - d) > min_diff
@@ -130,7 +132,7 @@ def _relax_kernel(inner_sweeps: int, voxel_size: float, max_distance: float,
 @partial(
     jax.jit,
     static_argnames=("inner_sweeps", "voxel_size", "max_distance",
-                     "min_diff", "interpret"),
+                     "min_diff", "interpret", "block_tile"),
 )
 def relax_padded(d_pad, obs_pad, upd_pad, inner_sweeps: int,
                  voxel_size: float, max_distance: float, min_diff: float,
