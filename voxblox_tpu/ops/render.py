@@ -138,6 +138,10 @@ def render_depth(
         jnp.where(active[:, None], layer.block_ijk, big), axis=0
     )
     origin_blk = jnp.where(jnp.any(active), origin_blk, 0)
+    max_blk = jnp.max(
+        jnp.where(active[:, None], layer.block_ijk, -big), axis=0
+    )
+    max_blk = jnp.where(jnp.any(active), max_blk, 0)
     rel = layer.block_ijk - origin_blk
     inside = jnp.all((rel >= 0) & (rel < dim), axis=-1) & surface_block
     addr = (rel[:, 0] * dim + rel[:, 1]) * dim + rel[:, 2]
@@ -147,6 +151,25 @@ def render_depth(
         jnp.arange(layer.max_blocks, dtype=jnp.int32), mode="drop",
         unique_indices=True,
     )
+    # Block-level Chebyshev distance to the nearest surface block
+    # (min-dilation passes over the dense grid; capped). Marching through
+    # empty space then jumps (D-1) whole blocks past the current block's
+    # exit per step instead of one block: moving a distance block_size
+    # changes each block coordinate by at most 1, so a point in a block
+    # at Chebyshev distance D can advance (D-1)*block_size beyond its
+    # block exit without entering a surface block.
+    max_cheb = 8
+    surf3 = (dense >= 0).reshape(dim, dim, dim)
+    cheb = jnp.where(surf3, 0.0, float(max_cheb))
+    for _ in range(max_cheb - 1):
+        nmin = -jax.lax.reduce_window(
+            -cheb, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+        )
+        cheb = jnp.minimum(cheb, nmin + 1.0)
+    # Pack: surface block -> pool slot (>= 0); else -(cheb distance).
+    gridv = jnp.where(
+        surf3.reshape(-1), dense, -cheb.astype(jnp.int32).reshape(-1)
+    )
     field = jnp.where(
         layer.channels["weight"] > 1e-6, layer.channels["tsdf"], jnp.inf
     ).reshape(-1)
@@ -154,63 +177,204 @@ def render_depth(
     v = layer.vps
     inv_dirs = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
 
-    def step(state):
-        t, done, it = state
-        x = origins + t[:, None] * dirs
-        gvi = grid.point_to_grid_index(x, 1.0 / vs)
-        block, local = grid.split_global(gvi, v)
-        rel = block - origin_blk
-        inb = jnp.all((rel >= 0) & (rel < dim), axis=-1)
-        addr = (rel[:, 0] * dim + rel[:, 1]) * dim + rel[:, 2]
-        sslot = dense.at[jnp.where(inb, addr, 0)].get(
+    # Clip rays to the active-map bounding box: start at its entry and
+    # retire them at its exit (the dense grid covers everything between;
+    # beyond it no surface can exist).
+    bbox_lo = origin_blk.astype(jnp.float32) * bs
+    bbox_hi = (max_blk + 1).astype(jnp.float32) * bs
+    ta = (bbox_lo[None] - origins) * inv_dirs
+    tb = (bbox_hi[None] - origins) * inv_dirs
+    t_enter = jnp.max(jnp.minimum(ta, tb), axis=-1)
+    t_leave = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    miss = (t_enter > t_leave) | (t_leave < 0.0)
+    t_stop_at = jnp.minimum(t_leave + 0.5 * vs, max_distance)
+
+    def make_step(o, d, inv_d, stop_at):
+        def step(state):
+            t, done, it = state
+            x = o + t[:, None] * d
+            gvi = grid.point_to_grid_index(x, 1.0 / vs)
+            block, local = grid.split_global(gvi, v)
+            rel = block - origin_blk
+            inb = jnp.all((rel >= 0) & (rel < dim), axis=-1)
+            addr = (rel[:, 0] * dim + rel[:, 1]) * dim + rel[:, 2]
+            g = gridv.at[jnp.where(inb, addr, 0)].get(
+                mode="fill", fill_value=-1
+            )
+            g = jnp.where(inb, g, -1)
+            has_surface = g >= 0
+            # AABB exit distance of the current block along the ray, plus
+            # (cheb-1) whole blocks when provably far from any surface.
+            corner = (block + (d > 0.0).astype(jnp.int32)).astype(
+                jnp.float32
+            ) * bs
+            t_exit = jnp.min((corner - x) * inv_d, axis=-1)
+            far = jnp.maximum(-g - 1, 0).astype(jnp.float32) * bs
+            skip = jnp.maximum(t_exit, 0.0) + far + 0.05 * vs
+
+            lin = grid.local_to_linear(local, v)
+            flat = jnp.where(has_surface,
+                             g * layer.voxels_per_block + lin, -1)
+            s = field.at[flat].get(mode="fill", fill_value=jnp.inf)
+            observed = jnp.isfinite(s)
+            adv_vox = jnp.where(observed, jnp.maximum(s, 0.6 * vs), vs)
+            adv = jnp.where(has_surface, adv_vox, jnp.maximum(skip, vs))
+            hit_now = has_surface & observed & (s < 0.6 * vs)
+            t = jnp.where(done | hit_now, t, t + adv)
+            done = done | hit_now | (t >= stop_at)
+            return t, done, it + 1
+
+        def step8(state):
+            # 8 march steps per while iteration: amortizes the loop's
+            # all-done reduction and per-iteration overhead (measured ~2x
+            # on a v5e vs one step per iteration).
+            for _ in range(8):
+                state = step(state)
+            return state
+
+        return step8
+
+    # Phase 1: full-width march for a bounded number of iterations —
+    # covers the typical ray (empty-space skips + ~20 near-surface
+    # steps). Phase 2: the few survivors (grazing rays creeping at the
+    # min step) are COMPACTED into an n/8 buffer and marched to
+    # completion there, so the long tail no longer runs every lane
+    # (lockstep tail measured ~5x the median ray length). If survivors
+    # overflow the buffer (adversarial geometry), fall back to finishing
+    # at full width.
+    n = dirs.shape[0]
+    step8_full = make_step(origins, dirs, inv_dirs, t_stop_at)
+    phase1_iters = min(10, max_steps)
+    t0 = jnp.maximum(jnp.where(miss, t_stop_at, t_enter), 0.0)
+    t1, done1, _ = jax.lax.while_loop(
+        lambda st: (~jnp.all(st[1])) & (st[2] < phase1_iters * 8),
+        step8_full,
+        (t0, miss | (t0 >= t_stop_at), jnp.int32(0)),
+    )
+
+    n2 = max(128, n // 8)
+    if n2 >= n:
+        t_raw, done, _ = jax.lax.while_loop(
+            lambda st: (~jnp.all(st[1])) & (st[2] < max_steps),
+            step8_full, (t1, done1, jnp.int32(0)),
+        )
+    else:
+        alive = ~done1
+        ids = jnp.nonzero(alive, size=n2, fill_value=n)[0]
+        overflow = jnp.sum(alive) > n2
+
+        def finish_compact(args):
+            t1, done1 = args
+            safe = jnp.where(ids < n, ids, 0)
+            o2 = origins[safe]
+            d2 = dirs[safe]
+            step8_c = make_step(o2, d2, inv_dirs[safe], t_stop_at[safe])
+            t2, dn2, _ = jax.lax.while_loop(
+                lambda st: (~jnp.all(st[1])) & (st[2] < max_steps),
+                step8_c,
+                (t1[safe], ids >= n, jnp.int32(0)),
+            )
+            return (
+                t1.at[ids].set(t2, mode="drop", unique_indices=True),
+                done1.at[ids].set(dn2, mode="drop", unique_indices=True),
+            )
+
+        def finish_full(args):
+            t1, done1 = args
+            t2, dn2, _ = jax.lax.while_loop(
+                lambda st: (~jnp.all(st[1])) & (st[2] < max_steps),
+                step8_full, (t1, done1, jnp.int32(0)),
+            )
+            return t2, dn2
+
+        t_raw, done = jax.lax.cond(
+            overflow, finish_full, finish_compact, (t1, done1)
+        )
+    # Rays that exited the map unhit report max_distance.
+    t_raw = jnp.where(t_raw >= t_stop_at, max_distance, t_raw)
+
+    # Fast trilinear sampling through the dense block grid: 2 gathers per
+    # corner (grid + field) instead of the hash interpolator's per-corner
+    # probe loops + separate weight lookup (~4x the gathers; the
+    # refinement below samples 9 times, so this dominated the render).
+    # ``field`` is built by a where() from the tsdf channel, so values
+    # gathered from it remain differentiable w.r.t. the map.
+    dense_all = jnp.full((dim * dim * dim,), -1, jnp.int32).at[
+        jnp.where(
+            jnp.all((rel >= 0) & (rel < dim), axis=-1) & active,
+            addr, dim * dim * dim,
+        )
+    ].set(
+        jnp.arange(layer.max_blocks, dtype=jnp.int32), mode="drop",
+        unique_indices=True,
+    )
+
+    def corner_vals(x):
+        """8-corner field values [Q,8] + fractional coords + validity."""
+        inv = 1.0 / vs
+        low = jnp.floor(x * inv - 0.5 + grid.EPS).astype(jnp.int32)
+        frac = (x - (low.astype(jnp.float32) + 0.5) * vs) * inv
+        corners = low[:, None, :] + jnp.asarray(interp._CORNERS)  # [Q,8,3]
+        block, local = grid.split_global(corners, v)
+        relc = block - origin_blk
+        inb = jnp.all((relc >= 0) & (relc < dim), axis=-1)
+        a = (relc[..., 0] * dim + relc[..., 1]) * dim + relc[..., 2]
+        slot = dense_all.at[jnp.where(inb, a, 0)].get(
             mode="fill", fill_value=-1
         )
-        sslot = jnp.where(inb, sslot, -1)
-        has_surface = sslot >= 0
-        # AABB exit distance of the current block along the ray.
-        corner = (block + (dirs > 0.0).astype(jnp.int32)).astype(
-            jnp.float32
-        ) * bs
-        t_exit = jnp.min((corner - x) * inv_dirs, axis=-1)
-        skip = jnp.maximum(t_exit, 0.0) + 0.05 * vs
-
+        slot = jnp.where(inb, slot, -1)
         lin = grid.local_to_linear(local, v)
-        flat = jnp.where(has_surface,
-                         sslot * layer.voxels_per_block + lin, -1)
-        s = field.at[flat].get(mode="fill", fill_value=jnp.inf)
-        observed = jnp.isfinite(s)
-        adv_vox = jnp.where(observed, jnp.maximum(s, 0.6 * vs), vs)
-        adv = jnp.where(has_surface, adv_vox, jnp.maximum(skip, vs))
-        hit_now = has_surface & observed & (s < 0.6 * vs)
-        t = jnp.where(done | hit_now, t, t + adv)
-        done = done | hit_now | (t >= max_distance)
-        return t, done, it + 1
+        flat = jnp.where(slot >= 0, slot * layer.voxels_per_block + lin, -1)
+        vals = field.at[flat].get(mode="fill", fill_value=jnp.inf)
+        valid = jnp.all(jnp.isfinite(vals), axis=-1)
+        return jnp.where(jnp.isfinite(vals), vals, 0.0), frac, valid
 
-    def step8(state):
-        # 8 march steps per while iteration: amortizes the loop's
-        # all-done reduction and per-iteration overhead (measured ~2x
-        # on a v5e vs one step per iteration).
-        for _ in range(8):
-            state = step(state)
-        return state
+    def fast_value(x):
+        vals, frac, valid = corner_vals(x)
+        w8 = interp._trilinear_weights(frac)
+        return jnp.sum(w8 * vals, axis=-1), valid
 
-    t0 = jnp.full((dirs.shape[0],), 0.0, jnp.float32)
-    t_raw, done, _ = jax.lax.while_loop(
-        lambda st: (~jnp.all(st[1])) & (st[2] < max_steps),
-        step8,
-        (t0, jnp.zeros(dirs.shape[0], bool), jnp.int32(0)),
-    )
-    # Two gradient-stopped trilinear refinements pull the stop point into
+    def fast_value_grad(x):
+        vals, frac, valid = corner_vals(x)
+        w8 = interp._trilinear_weights(frac)
+        val = jnp.sum(w8 * vals, axis=-1)
+        fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+        gxw, gyw, gzw = 1.0 - fx, 1.0 - fy, 1.0 - fz
+
+        # corner index = cx + 2*cy + 4*cz (x fastest, _CORNERS order)
+        def axis_grad(wa0, wa1, wb0, wb1, pick):
+            # d/dfx-style: sum over the other two axes of
+            # w_other * (val[hi] - val[lo]).
+            tot = 0.0
+            for cb in (0, 1):
+                for ca in (0, 1):
+                    wa = (wa1 if ca else wa0)
+                    wb = (wb1 if cb else wb0)
+                    hi, lo = pick(ca, cb)
+                    tot = tot + wa * wb * (vals[:, hi] - vals[:, lo])
+            return tot
+
+        gx = axis_grad(gyw, fy, gzw, fz,
+                       lambda cy, cz: (1 + 2 * cy + 4 * cz,
+                                       0 + 2 * cy + 4 * cz))
+        gy = axis_grad(gxw, fx, gzw, fz,
+                       lambda cx, cz: (2 + cx + 4 * cz, cx + 4 * cz))
+        gz = axis_grad(gxw, fx, gyw, fy,
+                       lambda cx, cy: (4 + cx + 2 * cy, cx + 2 * cy))
+        gvec = jnp.stack([gx, gy, gz], axis=-1) / vs
+        return val, gvec, valid
+
+    # Gradient-stopped trilinear refinements pull the stop point into
     # the correct interpolation cell before the differentiable Newton step.
     t_stop = jax.lax.stop_gradient(t_raw)
     for _ in range(8):
         x_r = origins + t_stop[:, None] * dirs
-        s_r, v_r = interp.interpolate(layer, x_r)
+        s_r, v_r = fast_value(x_r)
         t_stop = jax.lax.stop_gradient(
             jnp.where(v_r, t_stop + jnp.clip(s_r, -2 * vs, 2 * vs), t_stop)
         )
     x_stop = origins + t_stop[:, None] * dirs
-    s, g, valid = interp.interpolate_with_gradient(layer, x_stop)
+    s, g, valid = fast_value_grad(x_stop)
     denom = jnp.sum(jax.lax.stop_gradient(g) * dirs, axis=-1)
     # Along-ray SDF slope ~1 near a surface; clamp away from 0 for safety.
     denom = jnp.where(jnp.abs(denom) < 0.3,
