@@ -261,3 +261,44 @@ def test_full_euclidean_point_source():
         a = np.sort(np.abs(v_))[::-1]
         chamfer.append((a[0]-a[1]) + (a[1]-a[2])*np.sqrt(2) + a[2]*np.sqrt(3))
     assert (np.asarray(got) <= np.asarray(chamfer) + 1e-3).all()
+
+
+def test_esdf_bucketed_working_set_matches_uncompacted():
+    """The adaptive working-set bucket (max_active_blocks) must not change
+    the fixpoint; includes the retry path via a deliberately disjoint
+    ESDF pre-allocation that makes the first bucket estimate undershoot."""
+    tsdf_layer = _plane_tsdf_layer(max_blocks=512)
+    base = EsdfIntegratorConfig(
+        max_distance_m=1.2, default_distance_m=1.2, min_distance_m=0.2,
+    )
+    ref = vlayer.make_layer("esdf", VOXEL, vps=8, max_blocks=512)
+    ref, ovf_ref, _ = esdf.update_from_tsdf_batch(ref, tsdf_layer, base)
+    assert not bool(ovf_ref)
+
+    import dataclasses
+    cfg = dataclasses.replace(base, max_active_blocks=256)
+    # Pre-allocate blocks far outside the TSDF so the esdf/tsdf union
+    # exceeds max(n_esdf, n_tsdf): first bucket must overflow and retry.
+    far = np.stack(
+        np.meshgrid(np.arange(20, 24), np.arange(20, 24), np.arange(20, 24),
+                    indexing="ij"), -1
+    ).reshape(-1, 3).astype(np.int32)
+    out = vlayer.make_layer("esdf", VOXEL, vps=8, max_blocks=512)
+    out, _ = vlayer.allocate_blocks(
+        out, jnp.asarray(far), jnp.ones(len(far), bool)
+    )
+    out, ovf, _ = esdf.update_from_tsdf_batch(out, tsdf_layer, cfg)
+    assert not bool(ovf)
+
+    # Compare voxelwise on the TSDF-covered rows.
+    slot_of = vlayer.lookup_blocks(ref, tsdf_layer.block_ijk)
+    slot_out = vlayer.lookup_blocks(out, tsdf_layer.block_ijk)
+    act = np.asarray(tsdf_layer.active_mask())
+    for sr, so, a in zip(np.asarray(slot_of), np.asarray(slot_out), act):
+        if not a:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(ref.channels["esdf"][sr]),
+            np.asarray(out.channels["esdf"][so]),
+            atol=1e-5,
+        )

@@ -201,3 +201,47 @@ def test_batch_matches_sequential():
     assert det.rmse < 2e-3, str(det)
     n_s, n_b = evaluation.count_observed(seq), evaluation.count_observed(bat)
     assert abs(n_s - n_b) <= 0.01 * n_s, (n_s, n_b)
+
+
+def test_free_slab_budget_overflow_and_equivalence():
+    """A generous max_free_slabs gives identical results to the unbounded
+    default; a 1-slab budget must raise the overflow flag (updates were
+    dropped) on a carving-enabled scan."""
+    w, objs = _scene()
+    cfg = TsdfIntegratorConfig(
+        default_truncation_distance=TRUNC, max_ray_length_m=10.0
+    )
+    pose = _poses(1)[0]
+    pts_C, colors = _scan(objs, pose)
+
+    ref = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    ref, ovf_ref = projective.integrate_pointcloud_projective(
+        ref, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=FOV
+    )
+    assert not bool(ovf_ref)
+
+    gen = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    gen, ovf_gen = projective.integrate_pointcloud_projective(
+        gen, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=FOV,
+        max_free_slabs=4096,
+    )
+    assert not bool(ovf_gen)
+    slot_r = vlayer.lookup_blocks(ref, gen.block_ijk)
+    act = np.asarray(gen.active_mask())
+    for i, (sr, a) in enumerate(zip(np.asarray(slot_r), act)):
+        if not a:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(gen.channels["tsdf"][i]),
+            np.asarray(ref.channels["tsdf"][sr]), atol=1e-6,
+        )
+
+    # A 1-slab mixed budget must flag overflow (band slabs were dropped);
+    # the free budget flags identically but this small scene may have no
+    # FREE slabs at all, so the mixed budget is the deterministic probe.
+    tiny = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    tiny, ovf_tiny = projective.integrate_pointcloud_projective(
+        tiny, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=FOV,
+        max_mixed_slabs=1,
+    )
+    assert bool(ovf_tiny)

@@ -126,3 +126,46 @@ def test_render_depth_image_shape():
     assert depth.shape == (24, 32)
     assert bool(hit[12, 16])
     assert 1.8 < float(depth[12, 16]) < 2.2
+
+
+def test_render_rays_outside_map_miss():
+    """Rays that never enter the active-map bounding box terminate
+    immediately at max_distance with hit=False (bbox clipping)."""
+    objs, layer = _sphere_layer()
+    origins = jnp.asarray([[8.0, 0.0, 0.0], [0.0, 9.0, 0.0]], jnp.float32)
+    dirs = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+    depth, hit = render.render_depth(layer, origins, dirs, 5.0)
+    assert not np.asarray(hit).any()
+    np.testing.assert_allclose(np.asarray(depth), 5.0)
+
+
+def test_render_survivor_compaction_matches_chunked():
+    """A large batch (compaction phase active: n//8 survivor buffer) must
+    produce the same depths as the same rays rendered in tiny chunks
+    (which stay on the full-width path)."""
+    objs, layer = _sphere_layer()
+    n = 1024
+    rng = np.random.RandomState(3)
+    ang = rng.uniform(-0.5, 0.5, n).astype(np.float32)
+    elev = rng.uniform(-0.3, 0.3, n).astype(np.float32)
+    dirs = np.stack(
+        [np.sin(ang) * np.cos(elev), np.cos(ang) * np.cos(elev),
+         np.sin(elev)], -1
+    ).astype(np.float32)
+    origins = np.broadcast_to(
+        np.asarray([0.0, -3.0, 0.0], np.float32), dirs.shape
+    )
+    d_big, h_big = render.render_depth(
+        layer, jnp.asarray(origins), jnp.asarray(dirs), 8.0
+    )
+    for s0 in range(0, n, 128):
+        d_c, h_c = render.render_depth(
+            layer,
+            jnp.asarray(origins[s0:s0 + 128]),
+            jnp.asarray(dirs[s0:s0 + 128]),
+            8.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_big[s0:s0 + 128]), np.asarray(d_c), atol=1e-4
+        )
+        assert (np.asarray(h_big[s0:s0 + 128]) == np.asarray(h_c)).all()

@@ -152,7 +152,8 @@ def lower_sweep_sharded(mesh: Mesh, esdf_layer, cfg, region_rows=None):
     collectives for cross-shard neighbor gathers."""
     esdf_layer = shard_layer_blocks(mesh, esdf_layer)
     fn = jax.jit(lower_sweep, static_argnames=("cfg",))
-    return fn(esdf_layer, cfg, region_rows)
+    layer_out, iters, _region_ovf = fn(esdf_layer, cfg, region_rows)
+    return layer_out, iters
 
 
 def render_loss_grad_sharded(
