@@ -105,7 +105,7 @@ def main():
                 layer, _ = projective.integrate_organized_projective_batch(
                     layer, Rs, ts, pts, cols, cfg,
                     intrinsics=intrinsics, pool=res[0] // virt[0],
-                    max_visible_blocks=320, max_mixed_slabs=2304,
+                    max_visible_blocks=256, max_mixed_slabs=2048,
                     max_free_slabs=512,
                 )
         # Force a device->host readback: through the remote-TPU tunnel,

@@ -224,9 +224,17 @@ def _project(img: RangeImage, p_C):
     return u, v, r, r > 1e-3
 
 
-def _candidate_blocks(layer, img, R, t, cfg):
+def _candidate_blocks(layer, img, R, t, cfg, hiz=None):
     """Static local grid of blocks around the sensor, masked to those whose
-    center projects into the (margin-inflated) image within range."""
+    center projects into the (margin-inflated) image within range.
+
+    With ``hiz``, blocks whose pixel footprint provably cannot update them
+    are culled BEFORE allocation: footprints with no effective returns at
+    all (sparse lidar images are mostly empty), and blocks entirely
+    behind every return in their footprint. This mirrors the reference's
+    allocate-only-traversed-blocks behavior (castRay allocates along
+    rays; unswept blocks never exist) — without it a 50 m spherical scan
+    allocates the whole range shell."""
     bs = layer.block_size
     reach = min(cfg.max_ray_length_m, 100.0) + cfg.default_truncation_distance
     rad = int(np.ceil(reach / bs))
@@ -253,6 +261,27 @@ def _candidate_blocks(layer, img, R, t, cfg):
         & (v > -pix_margin - 1)
         & (v < h + pix_margin)
     )
+    if hiz is not None:
+        trunc = cfg.default_truncation_distance
+        q0u = jnp.clip(jnp.floor(u - pix_margin).astype(jnp.int32), 0, w - 1)
+        q1u = jnp.clip(jnp.ceil(u + pix_margin).astype(jnp.int32), 0, w - 1)
+        q0v = jnp.clip(jnp.floor(v - pix_margin).astype(jnp.int32), 0, h - 1)
+        q1v = jnp.clip(jnp.ceil(v + pix_margin).astype(jnp.int32), 0, h - 1)
+        _, foot_lo_band, foot_hi = _hiz_query(hiz, q0u, q1u, q0v, q1v)
+        updatable = foot_hi > -1e30  # any effective return in footprint
+        not_behind = jnp.maximum(r - margin_m, 0.0) <= (
+            foot_hi + 2 * trunc + layer.voxel_size
+        )
+        if not cfg.voxel_carving_enabled:
+            # Without carving only band voxels update: blocks provably in
+            # front of every return in their footprint get nothing either
+            # (empty pixels impose no constraint: lo_band; 2*trunc covers
+            # the band plus the sub-pixel gradient interpolation slack).
+            not_in_front = (r + margin_m + 2 * trunc + layer.voxel_size
+                            >= foot_lo_band)
+            updatable &= not_in_front
+        classifiable = front & (r > 2 * margin_m)
+        ok &= ~classifiable | (updatable & not_behind)
     return cand, ok
 
 
@@ -264,18 +293,19 @@ def _candidate_blocks(layer, img, R, t, cfg):
 def _pix_eff(img: RangeImage, cfg):
     """Per-pixel *effective* range: the depth that drives updates.
 
-    No-return / beyond-max-range pixels clear to max_ray - trunc when
-    allow_clear (isPointValid semantics), else contribute nothing (-inf:
-    lowers no min, raises no max — and leaves foot_lo at -inf so nothing
-    near them classifies FREE, which is conservative and correct since
-    such pixels give no update at all)."""
+    Pixels whose measured point lies beyond max_ray clear to
+    max_ray - trunc when allow_clear (isPointValid semantics,
+    tsdf_integrator.h:112-129). Pixels with NO return contribute nothing
+    (the reference drops non-finite points before integrating) — they
+    become -inf, which lowers no min, raises no max, and leaves foot_lo
+    at -inf so nothing near them classifies FREE."""
     trunc = cfg.default_truncation_distance
     clear_depth = cfg.max_ray_length_m - trunc
     if cfg.allow_clear:
         return jnp.where(
             jnp.isfinite(img.rng),
             jnp.where(img.rng > cfg.max_ray_length_m, clear_depth, img.rng),
-            clear_depth,
+            -jnp.inf,
         )
     return jnp.where(
         jnp.isfinite(img.rng) & (img.rng <= cfg.max_ray_length_m),
@@ -285,65 +315,126 @@ def _pix_eff(img: RangeImage, cfg):
 
 
 def _hiz_tables(pix_eff):
-    """Build a packed min/max pyramid of the effective-range image.
+    """Build a packed min/max ANISOTROPIC mip chain of the effective-range
+    image: one table per (level_u, level_v) pair, so a query picks its
+    level independently per axis. A square pyramid destroys anisotropic
+    images — on a 2048x64 lidar scan its coarse levels mix ALL
+    elevations, and every footprint's range bound collapses to "the
+    nearest return anywhere".
 
-    Returns (flat f32[N,2] of (lo,hi) texels over all levels, int32 level
-    offsets, int32 level widths, max_level). Level l texels cover 2^l px;
-    pads are +inf (min) / -inf (max) so out-of-image taps are neutral.
+    Two lo channels: ``lo`` treats empty (no-return, -inf) pixels as
+    -inf — a footprint containing one can never prove FREE (those pixels
+    give no carve); ``lo_band`` treats them as +inf — they impose no
+    band constraint, so "provably in front of every return" tests stay
+    tight on sparse (lidar) images.
+
+    Returns (flat f32[N,4] of (lo, lo_band, hi, 0) texels over all
+    (a, b) level pairs, int32[A+1, B+1] offsets, int32[A+1] widths,
+    (A, B) max levels). Texel (a, b) covers 2^a x 2^b px; pads are
+    neutral per channel.
     """
     h, w = pix_eff.shape
-    lo = hi = pix_eff
-    flats, offs, widths = [], [], []
+    a_max = max(1, int(np.ceil(np.log2(w))))
+    b_max = max(1, int(np.ceil(np.log2(h))))
+    # Near-square images keep the classic square pyramid (a == b
+    # diagonal only: ~log n tables); skewed ones build the full chain
+    # ((A+1)*(B+1) tables — ~10x the build cost, paid only when needed).
+    aniso = w >= 4 * h or h >= 4 * w
+    lo0 = pix_eff
+    band0 = jnp.where(jnp.isfinite(pix_eff), pix_eff, jnp.inf)
+    hi0 = pix_eff
+
+    def half(x, axis, init, op):
+        n = x.shape[axis]
+        if n == 1:
+            return x
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (0, n % 2)
+        x = jnp.pad(x, pad, constant_values=init)
+        win = [1, 1]
+        win[axis] = 2
+        return jax.lax.reduce_window(x, init, op, tuple(win), tuple(win),
+                                     "VALID")
+
+    def half2(t, axis):
+        return (
+            half(t[0], axis, jnp.inf, jax.lax.min),
+            half(t[1], axis, jnp.inf, jax.lax.min),
+            half(t[2], axis, -jnp.inf, jax.lax.max),
+        )
+
+    flats = []
+    # meta[(b*(A+1)+a)] = (offset, row_width, eff_a, eff_b): the table
+    # actually serving a requested (a, b) level pair.
+    n_pairs = (a_max + 1) * (b_max + 1)
+    meta = np.zeros((n_pairs, 4), np.int32)
     off = 0
-    lh, lw = h, w
-    while True:
-        flats.append(jnp.stack([lo, hi], -1).reshape(-1, 2))
-        offs.append(off)
-        widths.append(lw)
-        off += lh * lw
-        if lh == 1 and lw == 1:
-            break
-        lo = jnp.pad(lo, ((0, lh % 2), (0, lw % 2)),
-                     constant_values=jnp.inf)
-        hi = jnp.pad(hi, ((0, lh % 2), (0, lw % 2)),
-                     constant_values=-jnp.inf)
-        lo = jax.lax.reduce_window(lo, jnp.inf, jax.lax.min,
-                                   (2, 2), (2, 2), "VALID")
-        hi = jax.lax.reduce_window(hi, -jnp.inf, jax.lax.max,
-                                   (2, 2), (2, 2), "VALID")
-        lh, lw = (lh + 1) // 2, (lw + 1) // 2
+
+    def emit(t, ea, eb):
+        nonlocal off
+        lo_r, band_r, hi_r = t
+        flats.append(
+            jnp.stack([lo_r, band_r, hi_r, jnp.zeros_like(hi_r)], -1)
+            .reshape(-1, 4)
+        )
+        entry = (off, lo_r.shape[1], ea, eb)
+        off += lo_r.shape[0] * lo_r.shape[1]
+        return entry
+
+    if aniso:
+        col = (lo0, band0, hi0)
+        for b in range(b_max + 1):
+            row = col
+            for a in range(a_max + 1):
+                meta[b * (a_max + 1) + a] = emit(row, a, b)
+                row = half2(row, 1)
+            col = half2(col, 0)
+    else:
+        cur = (lo0, band0, hi0)
+        diag = []
+        for m in range(max(a_max, b_max) + 1):
+            diag.append(emit(cur, m, m))
+            cur = half2(half2(cur, 0), 1)
+        for b in range(b_max + 1):
+            for a in range(a_max + 1):
+                meta[b * (a_max + 1) + a] = diag[max(a, b)]
     return (
         jnp.concatenate(flats, 0),
-        jnp.asarray(offs, jnp.int32),
-        jnp.asarray(widths, jnp.int32),
-        len(offs) - 1,
+        jnp.asarray(meta, jnp.int32),
+        (a_max, b_max),
     )
 
 
 def _hiz_query(hiz, p0u, p1u, p0v, p1v):
-    """Conservative (min, max) of pix_eff over int pixel boxes [p0,p1].
+    """Conservative (min, min_band, max) of pix_eff over int pixel boxes
+    [p0,p1].
 
-    HiZ trick: at level ceil(log2(span)) a box spans <= 2 texels per
-    axis, so 4 taps always cover it (taps may read past the box — min
-    over more is lower, max higher: conservative in the right direction).
+    HiZ trick: at per-axis level ceil(log2(span_axis)) a box spans <= 2
+    texels per axis, so 4 taps always cover it (taps may read past the
+    box — min over more is lower, max higher: conservative in the right
+    direction).
     """
-    flat, offs, widths, max_lvl = hiz
-    sm1 = jnp.maximum(jnp.maximum(p1u - p0u, p1v - p0v), 0)
-    lvl = jnp.where(
-        sm1 <= 0,
-        0,
-        jnp.floor(
-            jnp.log2(jnp.maximum(sm1, 1).astype(jnp.float32))
-        ).astype(jnp.int32)
-        + 1,
-    )
-    lvl = jnp.minimum(lvl, max_lvl)
-    o = offs[lvl]
-    lw = widths[lvl]
-    t0u = jnp.right_shift(p0u, lvl)
-    t1u = jnp.right_shift(p1u, lvl)
-    t0v = jnp.right_shift(p0v, lvl)
-    t1v = jnp.right_shift(p1v, lvl)
+    flat, meta, (a_max, b_max) = hiz
+
+    def level(span, cap):
+        return jnp.clip(
+            jnp.where(
+                span <= 0, 0,
+                jnp.floor(jnp.log2(
+                    jnp.maximum(span, 1).astype(jnp.float32)
+                )).astype(jnp.int32) + 1,
+            ),
+            0, cap,
+        )
+
+    la = level(p1u - p0u, a_max)
+    lb = level(p1v - p0v, b_max)
+    m = meta[lb * (a_max + 1) + la]  # (offset, width, eff_a, eff_b)
+    o, lw, ea, eb = m[..., 0], m[..., 1], m[..., 2], m[..., 3]
+    t0u = jnp.right_shift(p0u, ea)
+    t1u = jnp.right_shift(p1u, ea)
+    t0v = jnp.right_shift(p0v, eb)
+    t1v = jnp.right_shift(p1v, eb)
     idx = jnp.stack(
         [
             o + t0v * lw + t0u,
@@ -353,8 +444,12 @@ def _hiz_query(hiz, p0u, p1u, p0v, p1v):
         ],
         axis=-1,
     )
-    taps = flat[idx]  # [..., 4, 2]
-    return jnp.min(taps[..., 0], -1), jnp.max(taps[..., 1], -1)
+    taps = flat[idx]  # [..., 4, 4]
+    return (
+        jnp.min(taps[..., 0], -1),
+        jnp.min(taps[..., 1], -1),
+        jnp.max(taps[..., 2], -1),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -479,12 +574,17 @@ def _classify_slabs(layer, safe_rows, row_ok, R, t, img, hiz, cfg):
     p0v = jnp.floor(v0 + 0.5).astype(jnp.int32)
     p1v = jnp.floor(v1 + 0.5).astype(jnp.int32)
     outside = (p1u < 0) | (p0u > w - 1) | (p1v < 0) | (p0v > h - 1)
-    # 1-px inflation: covers rounding and the 3x3 min-pool carve channel.
-    q0u = jnp.clip(p0u - 1, 0, w - 1)
-    q1u = jnp.clip(p1u + 1, 0, w - 1)
-    q0v = jnp.clip(p0v - 1, 0, h - 1)
-    q1v = jnp.clip(p1v + 1, 0, h - 1)
-    foot_lo, foot_hi = _hiz_query(hiz, q0u, q1u, q0v, q1v)
+    # 1-px inflation covers the 3x3 min-pool carve channel; the corner
+    # hull + center-rounding are already inside [p0, p1]. Without carving
+    # the min-pool channel is unused, so the tighter box applies — on
+    # sparse lidar images the extra row mixes the neighboring beam's
+    # range into every footprint (beams are metres apart at range).
+    infl = 1 if cfg.voxel_carving_enabled else 0
+    q0u = jnp.clip(p0u - infl, 0, w - 1)
+    q1u = jnp.clip(p1u + infl, 0, w - 1)
+    q0v = jnp.clip(p0v - infl, 0, h - 1)
+    q1v = jnp.clip(p1v + infl, 0, h - 1)
+    foot_lo, foot_lo_band, foot_hi = _hiz_query(hiz, q0u, q1u, q0v, q1v)
 
     classifiable &= row_ok[:, None, None]
     free = (
@@ -496,6 +596,13 @@ def _classify_slabs(layer, safe_rows, row_ok, R, t, img, hiz, cfg):
     skip = (classifiable & (r_lo > foot_hi + 2 * trunc + margin)) | (
         classifiable & outside
     )
+    if not cfg.voxel_carving_enabled:
+        # Only band voxels update: slabs provably in FRONT of every
+        # return (empty pixels unconstraining) are skippable too
+        # (2*trunc = band + sub-pixel interpolation slack).
+        skip |= classifiable & (
+            r_hi + 2 * trunc + margin < foot_lo_band
+        )
     mixed = row_ok[:, None, None] & ~free & ~skip
     z_est = jnp.clip(foot_lo, cfg.min_ray_length_m, cfg.max_ray_length_m)
 
@@ -566,8 +673,10 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     for all K scans at once — K small 2D passes inside a scan body cost
     ~2 ms/scan of launch overhead; one [K, H, W] pass is ~4x cheaper).
     """
-    cand, ok = _candidate_blocks(layer, img, R, t, cfg)
-    # Compact the (frustum-culled) candidates before touching the hash
+    if hiz is None:
+        hiz = _hiz_tables(_pix_eff(img, cfg))
+    cand, ok = _candidate_blocks(layer, img, R, t, cfg, hiz=hiz)
+    # Compact the (frustum+HiZ-culled) candidates before touching the hash
     # table: the local grid is ~15^3 blocks but only the visible ~1/6 pass
     # the mask, and allocate's discovery rounds re-probe every input.
     n_cand = cand.shape[0]
@@ -603,8 +712,6 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     trunc = cfg.default_truncation_distance
     clear_depth = cfg.max_ray_length_m - trunc
 
-    if hiz is None:
-        hiz = _hiz_tables(_pix_eff(img, cfg))
     free_s, mixed_s, z_est = _classify_slabs(
         layer, safe_rows, row_ok, R, t, img, hiz, cfg
     )
@@ -701,11 +808,16 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     r_img = r_nearest + du * (u_m - ui_m) + dv * (v_m - vi_m)
 
     def effective(r):
+        # No return at all -> no update (-inf: reference drops non-finite
+        # points); a return beyond max_ray -> clearing update when
+        # allow_clear, else nothing.
         has_ret = jnp.isfinite(r)
         beyond = has_ret & (r > cfg.max_ray_length_m)
         surf = has_ret & ~beyond
         if cfg.allow_clear:
-            return jnp.where(surf, r, clear_depth), surf
+            return jnp.where(
+                surf, r, jnp.where(beyond, clear_depth, -jnp.inf)
+            ), surf
         return jnp.where(surf, r, -jnp.inf), surf
 
     eff_range, has_surface = effective(r_img)
@@ -752,11 +864,15 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
         d_wc = d_wc.at[slab_ids].add(cw[..., None] * pix_color, mode="drop",
                                      unique_indices=True)
 
-    shape = (B, v, v, v)
+    # Deltas return FLAT per-row: [B, v^3] / [B, 3*v^3]. TPU tiles the
+    # last two dims to (8, 128); cube-shaped [B, v, v, v] intermediates
+    # pad 16 -> 128 lanes (8x memory AND scatter bandwidth), which OOMs
+    # large pools. Flat rows are multiples of 128 — no padding.
+    vpb = layer.voxels_per_block
     return (
         layer, rows, row_ok,
-        d_w.reshape(shape), d_wd.reshape(shape),
-        d_cw.reshape(shape), d_wc.reshape(shape + (3,)),
+        d_w.reshape(B, vpb), d_wd.reshape(B, vpb),
+        d_cw.reshape(B, vpb), d_wc.reshape(B, vpb * 3),
         overflowed,
     )
 
@@ -780,11 +896,19 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
     )
     trunc = cfg.default_truncation_distance
     safe_rows = jnp.where(row_ok, rows, 0)
+    mb = layer.max_blocks
+    vpb = layer.voxels_per_block
 
-    # Fused running-average update on the visible rows
+    def rep3(x):
+        # [B, vpb] -> [B, 3*vpb] rgb-interleaved broadcast (keeps all
+        # color math in flat pad-free 2D — a [B, vpb, 3] intermediate
+        # would tile its minor dim 3 up to 128 lanes).
+        return jnp.repeat(x, 3, axis=-1, total_repeat_length=x.shape[-1] * 3)
+
+    # Fused running-average update on the visible rows, all in flat 2D
     # (updateTsdfVoxel, tsdf_integrator.cc:186-208).
-    old_d = layer.channels["tsdf"][safe_rows]
-    old_w = layer.channels["weight"][safe_rows]
+    old_d = layer.channels["tsdf"].reshape(mb, vpb)[safe_rows]
+    old_w = layer.channels["weight"].reshape(mb, vpb)[safe_rows]
     new_w_raw = old_w + d_w
     new_d = jnp.clip(
         (old_d * old_w + d_wd) / jnp.maximum(new_w_raw, grid.FLOAT_EPS),
@@ -794,28 +918,28 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
     out_d = jnp.where(touched, new_d, old_d)
     out_w = jnp.where(touched, jnp.minimum(new_w_raw, cfg.max_weight), old_w)
 
-    write_rows = jnp.where(row_ok, rows, layer.max_blocks)
+    write_rows = jnp.where(row_ok, rows, mb)
     ch = dict(layer.channels)
-    ch["tsdf"] = ch["tsdf"].at[write_rows].set(
+    ch["tsdf"] = ch["tsdf"].reshape(mb, vpb).at[write_rows].set(
         out_d, mode="drop", unique_indices=True
-    )
-    ch["weight"] = ch["weight"].at[write_rows].set(
+    ).reshape(ch["tsdf"].shape)
+    ch["weight"] = ch["weight"].reshape(mb, vpb).at[write_rows].set(
         out_w, mode="drop", unique_indices=True
-    )
+    ).reshape(ch["weight"].shape)
     if use_color:
-        old_c = layer.channels["color"][safe_rows]
-        new_c = (old_c * old_w[..., None] + d_wc) / jnp.maximum(
-            old_w + d_cw, grid.FLOAT_EPS
-        )[..., None]
-        out_c = jnp.where((d_cw > 0)[..., None], new_c, old_c)
-        ch["color"] = ch["color"].at[write_rows].set(
-            out_c, mode="drop", unique_indices=True
+        old_c = layer.channels["color"].reshape(mb, vpb * 3)[safe_rows]
+        new_c = (old_c * rep3(old_w) + d_wc) / jnp.maximum(
+            rep3(old_w + d_cw), grid.FLOAT_EPS
         )
+        out_c = jnp.where(rep3(d_cw) > 0, new_c, old_c)
+        ch["color"] = ch["color"].reshape(mb, vpb * 3).at[write_rows].set(
+            out_c, mode="drop", unique_indices=True
+        ).reshape(ch["color"].shape)
     layer = dataclasses.replace(layer, channels=ch)
 
-    row_touched = jnp.any(touched, axis=(1, 2, 3))
+    row_touched = jnp.any(touched, axis=-1)
     flags = layer.block_flags.at[
-        jnp.where(row_ok & row_touched, rows, layer.max_blocks)
+        jnp.where(row_ok & row_touched, rows, mb)
     ].set(vlayer.ACTIVE | vlayer.DIRTY_ALL, mode="drop")
     return dataclasses.replace(layer, block_flags=flags), overflowed
 
@@ -912,13 +1036,29 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
     """Shared K-scan batch core; make_img(pts_i, cols_i) -> RangeImage."""
     mb = layer.max_blocks
     v = layer.vps
+    vpb = layer.voxels_per_block
     geom = dataclasses.replace(layer, channels={})
-    acc = (
-        jnp.zeros((mb, v, v, v), jnp.float32),
-        jnp.zeros((mb, v, v, v), jnp.float32),
-        jnp.zeros((mb, v, v, v), jnp.float32),
-        jnp.zeros((mb, v, v, v, 3), jnp.float32),
-    )
+    # Accumulator layout: cube-shaped carries match the stored channel
+    # layout (no relayout copies in the final fold — measured +1.4
+    # ms/scan for a flat fold at mb=4096), but XLA materializes them
+    # TILE-PADDED inside the scan (16 -> 128 lanes, 8x), which OOMs HBM
+    # for large pools. Large pools therefore switch to FLAT accumulators
+    # ([mb, v^3] / [mb, 3*v^3]) and pay the one-time fold relayout.
+    flat_acc = mb * vpb * 4 * 6 * 8 > 8 << 30  # padded cube accs > 8 GiB
+    if flat_acc:
+        acc = (
+            jnp.zeros((mb, vpb), jnp.float32),
+            jnp.zeros((mb, vpb), jnp.float32),
+            jnp.zeros((mb, vpb), jnp.float32),
+            jnp.zeros((mb, vpb * 3), jnp.float32),
+        )
+    else:
+        acc = (
+            jnp.zeros((mb, v, v, v), jnp.float32),
+            jnp.zeros((mb, v, v, v), jnp.float32),
+            jnp.zeros((mb, v, v, v), jnp.float32),
+            jnp.zeros((mb, v, v, v, 3), jnp.float32),
+        )
 
     # Build ALL K range images + per-pixel feature tables + HiZ pyramids
     # up front as single [K, ...] batched passes. Doing this inside the
@@ -932,14 +1072,14 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
     def build_one(pts, cols):
         img = make_img(pts, cols)
         feat = _feat_image(img, trunc)
-        flat, offs, widths, max_lvl = _hiz_tables(_pix_eff(img, cfg))
+        flat, meta, max_lvls = _hiz_tables(_pix_eff(img, cfg))
         return img.rng, img.color, img.params, feat, flat
 
     rngs, colors_i, params_i, feats, hiz_flats = jax.vmap(build_one)(
         points_C, colors
     )
     # Level offsets/widths are shape-derived constants (identical per scan).
-    _, hiz_offs, hiz_widths, hiz_max_lvl = _hiz_tables(
+    _, hiz_meta, hiz_max_lvls = _hiz_tables(
         jnp.zeros(rngs.shape[1:], jnp.float32)
     )
 
@@ -947,7 +1087,7 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
         geom, acc, ovf = carry
         R, t, rng_i, col_i, par_i, feat_i, hflat_i = scan
         img = RangeImage(rng=rng_i, color=col_i, params=par_i, kind=kind)
-        hiz = (hflat_i, hiz_offs, hiz_widths, hiz_max_lvl)
+        hiz = (hflat_i, hiz_meta, hiz_max_lvls)
         geom, rows, row_ok, d_w, d_wd, d_cw, d_wc, o = _scan_terms(
             geom, R, t, img, cfg, use_color, max_visible_blocks,
             max_mixed_slabs, feat=feat_i, hiz=hiz,
@@ -955,6 +1095,12 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
         )
         write_rows = jnp.where(row_ok, rows, mb)
         a_w, a_wd, a_cw, a_wc = acc
+        if not flat_acc:
+            b = d_w.shape[0]
+            d_w = d_w.reshape(b, v, v, v)
+            d_wd = d_wd.reshape(b, v, v, v)
+            d_cw = d_cw.reshape(b, v, v, v)
+            d_wc = d_wc.reshape(b, v, v, v, 3)
         a_w = a_w.at[write_rows].add(d_w, mode="drop", unique_indices=True)
         a_wd = a_wd.at[write_rows].add(d_wd, mode="drop", unique_indices=True)
         if use_color:
@@ -969,27 +1115,55 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
         (Rs, ts, rngs, colors_i, params_i, feats, hiz_flats),
     )
     d_w, d_wd, d_cw, d_wc = acc
-
-    old_d = layer.channels["tsdf"]
-    old_w = layer.channels["weight"]
-    new_w_raw = old_w + d_w
-    touched = d_w > 0.0
-    new_d = jnp.clip(
-        (old_d * old_w + d_wd) / jnp.maximum(new_w_raw, grid.FLOAT_EPS),
-        -trunc, trunc,
-    )
     ch = dict(layer.channels)
-    ch["tsdf"] = jnp.where(touched, new_d, old_d)
-    ch["weight"] = jnp.where(
-        touched, jnp.minimum(new_w_raw, cfg.max_weight), old_w
-    )
-    if use_color:
-        old_c = layer.channels["color"]
-        ctouched = d_cw > 0.0
-        new_c = (old_c * old_w[..., None] + d_wc) / jnp.maximum(
-            old_w + d_cw, grid.FLOAT_EPS
-        )[..., None]
-        ch["color"] = jnp.where(ctouched[..., None], new_c, old_c)
+
+    if flat_acc:
+        def rep3(x):
+            return jnp.repeat(x, 3, axis=-1,
+                              total_repeat_length=x.shape[-1] * 3)
+
+        old_d = layer.channels["tsdf"].reshape(mb, vpb)
+        old_w = layer.channels["weight"].reshape(mb, vpb)
+        new_w_raw = old_w + d_w
+        touched = d_w > 0.0
+        new_d = jnp.clip(
+            (old_d * old_w + d_wd) / jnp.maximum(new_w_raw, grid.FLOAT_EPS),
+            -trunc, trunc,
+        )
+        cube = ch["tsdf"].shape
+        ch["tsdf"] = jnp.where(touched, new_d, old_d).reshape(cube)
+        ch["weight"] = jnp.where(
+            touched, jnp.minimum(new_w_raw, cfg.max_weight), old_w
+        ).reshape(cube)
+        if use_color:
+            old_c = layer.channels["color"].reshape(mb, vpb * 3)
+            new_c = (old_c * rep3(old_w) + d_wc) / jnp.maximum(
+                rep3(old_w + d_cw), grid.FLOAT_EPS
+            )
+            ch["color"] = jnp.where(rep3(d_cw) > 0, new_c, old_c).reshape(
+                layer.channels["color"].shape
+            )
+        row_touched = jnp.any(touched, axis=-1)
+    else:
+        old_d = layer.channels["tsdf"]
+        old_w = layer.channels["weight"]
+        new_w_raw = old_w + d_w
+        touched = d_w > 0.0
+        new_d = jnp.clip(
+            (old_d * old_w + d_wd) / jnp.maximum(new_w_raw, grid.FLOAT_EPS),
+            -trunc, trunc,
+        )
+        ch["tsdf"] = jnp.where(touched, new_d, old_d)
+        ch["weight"] = jnp.where(
+            touched, jnp.minimum(new_w_raw, cfg.max_weight), old_w
+        )
+        if use_color:
+            old_c = layer.channels["color"]
+            new_c = (old_c * old_w[..., None] + d_wc) / jnp.maximum(
+                old_w + d_cw, grid.FLOAT_EPS
+            )[..., None]
+            ch["color"] = jnp.where((d_cw > 0)[..., None], new_c, old_c)
+        row_touched = jnp.any(touched, axis=(1, 2, 3))
 
     layer = dataclasses.replace(
         layer,
@@ -998,7 +1172,7 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
         block_ijk=geom.block_ijk,
         num_blocks=geom.num_blocks,
         block_flags=jnp.where(
-            jnp.any(touched, axis=(1, 2, 3)),
+            row_touched,
             vlayer.ACTIVE | vlayer.DIRTY_ALL,
             geom.block_flags,
         ).astype(jnp.uint8),

@@ -246,6 +246,51 @@ def organized_pointcloud_from_transform(
     )
 
 
+def spherical_pointcloud_from_transform(
+    objects: ObjectSet,
+    T_G_C,
+    resolution,
+    fov_up_deg: float,
+    fov_down_deg: float,
+    max_dist,
+    noise_sigma: float = 0.0,
+    noise_key=None,
+):
+    """Render a velodyne-style spinning-lidar scan.
+
+    ``resolution`` = (W azimuth bins, H beams). Beam (v, u) points along
+    azimuth -pi + (u+0.5)*2pi/W and elevation fov_down + (v+0.5)*delta in
+    the sensor frame (+x forward, +z up) — the exact bin centers of
+    ``ops.projective.build_spherical_range_image``. Returns
+    (points_C f32[W*H, 3] (0 where no return), colors, valid).
+    """
+    w, h = resolution
+    el0 = np.deg2rad(fov_down_deg)
+    el1 = np.deg2rad(fov_up_deg)
+    az = -np.pi + (jnp.arange(w, dtype=jnp.float32) + 0.5) * (2 * np.pi / w)
+    el = el0 + (jnp.arange(h, dtype=jnp.float32) + 0.5) * ((el1 - el0) / h)
+    aa, ee = jnp.meshgrid(az, el, indexing="xy")
+    dirs_C = jnp.stack(
+        [jnp.cos(ee) * jnp.cos(aa), jnp.cos(ee) * jnp.sin(aa), jnp.sin(ee)],
+        axis=-1,
+    ).reshape(-1, 3)
+    R, tr = T_G_C
+    dirs_G = dirs_C @ R.T
+    origin = jnp.asarray(tr, jnp.float32)
+    t = sim_objects.object_ray_intersections(
+        objects, jnp.broadcast_to(origin, dirs_G.shape), dirs_G
+    )
+    tmin = jnp.min(t, axis=-1)
+    arg = jnp.argmin(t, axis=-1)
+    valid = jnp.isfinite(tmin) & (tmin <= max_dist)
+    if noise_sigma > 0.0 and noise_key is not None:
+        tmin = tmin + noise_sigma * jax.random.normal(noise_key, tmin.shape)
+    tmin = jnp.where(valid, tmin, 0.0)
+    points_C = dirs_C * tmin[:, None]
+    colors = objects.color[arg]
+    return points_C, colors, valid
+
+
 def world_points_to_sensor(T_G_C, points_G, valid):
     """Inverse-transform world points into the sensor frame; invalid lanes
     get a zero point (rejected by min_ray_length)."""
