@@ -84,7 +84,7 @@ def run(layer, Rs, ts, points_C, colors, stage: str):
         img = P.RangeImage(rng=rng_i, color=col_i, params=par_i,
                            kind="pinhole")
         hiz = (hflat_i, hiz_offs, hiz_widths, hiz_max_lvl)
-        cand, ok = P._candidate_blocks(geom, img, R, t, cfg)
+        cand, ok = P._candidate_blocks(geom, img, R, t, cfg, hiz=hiz)
         n_cand = cand.shape[0]
         max_cand = min(2 * MVB, n_cand)
         cidx = jnp.nonzero(ok, size=max_cand, fill_value=n_cand)[0]
@@ -155,9 +155,11 @@ def timeit_full(mms, n=4, label=""):
           f"({dt*1e3:7.2f} ms/batch16)")
 
 
-timeit_full(2048)
+timeit_stage("images")
+timeit_stage("alloc")
+timeit_stage("classify")
+timeit_full(1)
 timeit_full(2304)
-timeit_full(3072)
 
 # Also: count actual slab classes on the warmed map.
 for mms in (1792, 2048, 2304):

@@ -173,7 +173,9 @@ def test_projective_server_method():
     )
     pts_C = sw.world_points_to_sensor((R, pos), pts_G, valid)
     srv.insert_pointcloud((R, pos), pts_C, colors)
-    assert int(srv.layer.num_blocks) > 20
+    # Blocks = traversed free-space cone + surface band only (occluded
+    # blocks behind the band are HiZ-culled before allocation).
+    assert int(srv.layer.num_blocks) > 8
     srv.update_esdf()
     srv.update_mesh()
     assert srv.mesh_layer.num_vertices() > 0

@@ -461,32 +461,61 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
     # distance halo must be re-exchanged per outer).
     obs_pad = _padded(view, obs_f, nbr, jnp.float32(0.0)) > 0.5
     if use_pallas:
+        # Fully 2D pipeline: state stays in the kernel layout across
+        # outer iterations (the per-call cube<->2D relayouts cost ~5 ms
+        # per outer at 512 blocks), and the distance halo is exchanged
+        # directly in 2D (_halo_exchange_2d).
         import jax as _jax
 
         from .pallas import esdf_relax as _pk
 
         pallas_interpret = _jax.default_backend() != "tpu"
-        obs_pad_f = obs_pad.astype(jnp.float32)
+        o2 = _pk.to_2d(obs_pad.astype(jnp.float32))
         upd_pad = jnp.zeros(obs_pad.shape, jnp.float32).at[
             :, 1:-1, 1:-1, 1:-1
         ].set(upd_mask.astype(jnp.float32))
+        u2 = _pk.to_2d(upd_pad)
+        n_rows = d.shape[0]
+        bt = o2.shape[0] // 18
+        nbr_pad = jnp.concatenate(
+            [nbr, jnp.full((bt - n_rows, 27), -1, nbr.dtype)], axis=0
+        ) if bt > n_rows else nbr
+        d20 = _pk.to_2d(_padded(view, d, nbr, jnp.float32(0.0)))
+
+        def outer_cond2(state):
+            d2, changed, it = state
+            return changed & (it < cfg.max_outer_sweeps)
+
+        def outer_body2(state):
+            d2, _, it = state
+            d2a = _pk.relax_2d(
+                d2, o2, u2, cfg.inner_sweeps, esdf_layer.voxel_size,
+                cfg.max_distance_m, cfg.min_diff_m,
+                interpret=pallas_interpret,
+            )
+            changed = jnp.any(jnp.abs(d2a - d2) > cfg.min_diff_m)
+            d2b = _halo_exchange_2d(d2a, nbr_pad, bt)
+            return d2b, changed, it + 1
+
+        d2f, _, iters = jax.lax.while_loop(
+            outer_cond2, outer_body2, (d20, jnp.asarray(True), jnp.int32(0))
+        )
+        d_out = _pk.from_2d(d2f, n_rows)[:, 1:-1, 1:-1, 1:-1]
+        ch = dict(esdf_layer.channels)
+        if write_back_rows is None:
+            ch["esdf"] = d_out
+        else:
+            rows, ok = write_back_rows
+            wr = jnp.where(ok, rows, esdf_layer.max_blocks)
+            ch["esdf"] = ch["esdf"].at[wr].set(
+                d_out, mode="drop", unique_indices=True
+            )
+        return dataclasses.replace(esdf_layer, channels=ch), iters
 
     def outer_body(state):
         dd, pp, _, it = state
         d_pad = _padded(view, dd, nbr, jnp.float32(0.0))
         d0 = dd
-
-        if use_pallas:
-            # Fused kernel: inner_sweeps relaxations per VMEM residency.
-            out_pad = _pk.relax_padded(
-                d_pad, obs_pad_f, upd_pad,
-                cfg.inner_sweeps, esdf_layer.voxel_size,
-                cfg.max_distance_m, cfg.min_diff_m,
-                interpret=pallas_interpret,
-            )
-            dd = out_pad[:, 1:-1, 1:-1, 1:-1]
-            changed = jnp.any(jnp.abs(dd - d0) > cfg.min_diff_m)
-            return dd, pp, changed, it + 1
 
         if full_euclid:
             p_pad = _padded(view, pp, nbr, jnp.int32(_PARENT_ZERO))
@@ -539,6 +568,76 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
                 par8, mode="drop", unique_indices=True
             )
     return dataclasses.replace(esdf_layer, channels=ch), iters
+
+
+def _halo_exchange_2d(d2, nbr_pad, bt: int):
+    """Refresh the 1-voxel halo ring directly in the kernel's 2D layout.
+
+    d2: f32[bt*18, LANE_PAD] (rows = (block, z), lanes = y*18+x); the
+    interior (x,y,z in [1,16]) is authoritative, ring cells are
+    reassembled from each 26-neighbor's interior boundary layer through
+    ``nbr_pad`` (int32[bt, 27] compact-row neighbor slots, -1 missing;
+    offset k = ((dx+1)*3+(dy+1))*3+(dz+1)).
+
+    Every ring cell has exactly one owner offset; in-plane (dz == 0)
+    owners update via full-width masked selects (they live on 16/18 of
+    the rows), the two z-ring rows via per-block row assembly + one
+    scatter. Cells with a missing neighbor keep their old value — the
+    static observed-halo mask already excludes them as sources.
+    """
+    P = 18
+    lp = d2.shape[1]
+    rows = bt * P
+    ext2 = jnp.concatenate([d2, jnp.zeros((P, lp), d2.dtype)], axis=0)
+
+    lane = np.arange(lp)
+    lx = lane % P
+    ly = lane // P
+
+    def lane_mask(dx, dy):
+        mx = (lx == 0) if dx == -1 else (
+            (lx == P - 1) if dx == 1 else ((lx >= 1) & (lx <= P - 2)))
+        my = (ly == 0) if dy == -1 else (
+            (ly == P - 1) if dy == 1 else ((ly >= 1) & (ly <= P - 2)))
+        return jnp.asarray((mx & my & (ly < P))[None, :])
+
+    def koff(dx, dy, dz):
+        return ((dx + 1) * 3 + (dy + 1)) * 3 + (dz + 1)
+
+    z_of = jnp.arange(rows, dtype=jnp.int32) % P
+    b_of = jnp.arange(rows, dtype=jnp.int32) // P
+    z_interior = ((z_of >= 1) & (z_of <= P - 2))[:, None]
+
+    # In-plane owners (dz == 0): faces and vertical edges.
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if (dx, dy) == (0, 0):
+                continue
+            nv = nbr_pad[:, koff(dx, dy, 0)]
+            nvr = nv[b_of]
+            srow = jnp.where(nvr >= 0, nvr, bt) * P + z_of
+            g = ext2[srow]
+            rolled = jnp.roll(g, 16 * (dx + P * dy), axis=1)
+            m = lane_mask(dx, dy) & z_interior & (nvr >= 0)[:, None]
+            d2 = jnp.where(m, rolled, d2)
+
+    # z-ring rows (dz == +-1): per-block assembly + one row scatter.
+    for dz in (-1, 1):
+        dst_z = 0 if dz == -1 else P - 1
+        src_z = P - 2 if dz == -1 else 1
+        dst_rows = jnp.arange(bt, dtype=jnp.int32) * P + dst_z
+        content = d2[dst_rows]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nv = nbr_pad[:, koff(dx, dy, dz)]
+                srow = jnp.where(nv >= 0, nv, bt) * P + src_z
+                g = ext2[srow]
+                if (dx, dy) != (0, 0):
+                    g = jnp.roll(g, 16 * (dx + P * dy), axis=1)
+                m = lane_mask(dx, dy) & (nv >= 0)[:, None]
+                content = jnp.where(m, g, content)
+        d2 = d2.at[dst_rows].set(content, unique_indices=True)
+    return d2
 
 
 def _padded(view_layer, values, nbr, fill):
