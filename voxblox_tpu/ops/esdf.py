@@ -718,29 +718,47 @@ def reset_region(esdf_layer, region_rows, cfg):
 # ---------------------------------------------------------------------------
 
 
+# Last working-set bucket per (pool size, vps, cap): the device->host
+# block-count readback that sizes the bucket costs a full round trip
+# (~25-70 ms through a remote-TPU tunnel), so it runs once per pool
+# config; afterwards the cached bucket is reused and only GROWS (on the
+# entry points' overflow retries). An oversized bucket after a map
+# shrink costs sweep time, never correctness.
+_BUCKET_CACHE: dict = {}
+
+
 def _bucketed_cfg(cfg: EsdfIntegratorConfig, esdf_layer, tsdf_layer):
     """Shrink cfg.max_active_blocks to a power-of-2 bucket that covers the
-    CURRENT map (host-side readback of the block counts). The sweep cost
-    scales with the working-set budget, so sweeping a 4096-row budget for
-    a 400-block map wastes 90% of the kernel; overflow (the estimate can
-    undershoot when the esdf/tsdf block sets are disjoint) is detected by
-    lower_sweep and retried with a doubled bucket by the entry points."""
+    CURRENT map. The sweep cost scales with the working-set budget, so
+    sweeping a 4096-row budget for a 400-block map wastes 90% of the
+    kernel; overflow (the estimate can undershoot when the esdf/tsdf
+    block sets are disjoint, or the cached bucket is stale) is detected
+    by lower_sweep and retried with a doubled bucket."""
     k = cfg.max_active_blocks
     if k is None or k >= esdf_layer.max_blocks:
         return cfg
-    n = max(int(esdf_layer.num_blocks), int(tsdf_layer.num_blocks))
-    b = 64
-    while b < n:
-        b *= 2
-    b = min(b, k)
-    return cfg if b == k else dataclasses.replace(cfg, max_active_blocks=b)
+    key = (esdf_layer.max_blocks, esdf_layer.vps, k)
+    b = _BUCKET_CACHE.get(key)
+    if b is None:
+        n = max(int(esdf_layer.num_blocks), int(tsdf_layer.num_blocks))
+        b = 64
+        while b < n:
+            b *= 2
+        b = min(b, k)
+        _BUCKET_CACHE[key] = b
+    if b >= k:
+        return cfg
+    return dataclasses.replace(cfg, max_active_blocks=b)
 
 
-def _grow_cfg(cfg: EsdfIntegratorConfig, cap: EsdfIntegratorConfig):
+def _grow_cfg(cfg: EsdfIntegratorConfig, cap: EsdfIntegratorConfig,
+              esdf_layer):
     k = min(cfg.max_active_blocks * 2,
             cap.max_active_blocks or cfg.max_active_blocks * 2)
     if k == cfg.max_active_blocks:
         return None
+    key = (esdf_layer.max_blocks, esdf_layer.vps, cap.max_active_blocks)
+    _BUCKET_CACHE[key] = max(_BUCKET_CACHE.get(key, 0), k)
     return dataclasses.replace(cfg, max_active_blocks=k)
 
 
@@ -759,7 +777,7 @@ def update_from_tsdf_batch(esdf_layer, tsdf_layer,
         )
         if not bool(region_ovf):
             return out, overflow, iters
-        grown = _grow_cfg(run_cfg, cfg)
+        grown = _grow_cfg(run_cfg, cfg, esdf_layer)
         if grown is None:
             return out, overflow | region_ovf, iters
         run_cfg = grown
@@ -797,7 +815,7 @@ def update_from_tsdf_incremental(
         )
         if not bool(region_ovf):
             return out_e, out_t, overflow, iters
-        grown = _grow_cfg(run_cfg, cfg)
+        grown = _grow_cfg(run_cfg, cfg, esdf_layer)
         if grown is None:
             return out_e, out_t, overflow | region_ovf, iters
         run_cfg = grown
