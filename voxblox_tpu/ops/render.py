@@ -162,9 +162,15 @@ def render_depth(
     surf3 = (dense >= 0).reshape(dim, dim, dim)
     cheb = jnp.where(surf3, 0.0, float(max_cheb))
     for _ in range(max_cheb - 1):
-        nmin = -jax.lax.reduce_window(
-            -cheb, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
-        )
+        # Chebyshev min-dilation is separable: three 1-D 3-window mins
+        # instead of one 27-point window (~9x fewer compares).
+        nmin = cheb
+        for ax in range(3):
+            win = [1, 1, 1]
+            win[ax] = 3
+            nmin = -jax.lax.reduce_window(
+                -nmin, -jnp.inf, jax.lax.max, tuple(win), (1, 1, 1), "SAME"
+            )
         cheb = jnp.minimum(cheb, nmin + 1.0)
     # Pack: surface block -> pool slot (>= 0); else -(cheb distance).
     gridv = jnp.where(
@@ -217,9 +223,9 @@ def render_depth(
                              g * layer.voxels_per_block + lin, -1)
             s = field.at[flat].get(mode="fill", fill_value=jnp.inf)
             observed = jnp.isfinite(s)
-            adv_vox = jnp.where(observed, jnp.maximum(s, 0.6 * vs), vs)
+            adv_vox = jnp.where(observed, jnp.maximum(s, 0.9 * vs), vs)
             adv = jnp.where(has_surface, adv_vox, jnp.maximum(skip, vs))
-            hit_now = has_surface & observed & (s < 0.6 * vs)
+            hit_now = has_surface & observed & (s < 0.9 * vs)
             t = jnp.where(done | hit_now, t, t + adv)
             done = done | hit_now | (t >= stop_at)
             return t, done, it + 1
@@ -365,9 +371,11 @@ def render_depth(
         return val, gvec, valid
 
     # Gradient-stopped trilinear refinements pull the stop point into
-    # the correct interpolation cell before the differentiable Newton step.
+    # the correct interpolation cell before the differentiable Newton
+    # step (the march stops within ~0.9 voxel; each pull clamps to
+    # +-2 voxels, so 5 iterations give ample slack).
     t_stop = jax.lax.stop_gradient(t_raw)
-    for _ in range(8):
+    for _ in range(5):
         x_r = origins + t_stop[:, None] * dirs
         s_r, v_r = fast_value(x_r)
         t_stop = jax.lax.stop_gradient(
