@@ -58,6 +58,10 @@ class TsdfServer:
         projective_resolution=(320, 240),
         projective_fov_deg: float = 90.0,
         projective_kind: str = "pinhole",
+        # Throughput budgets (None = safe unbounded; see ops/projective).
+        projective_max_visible_blocks: int = 512,
+        projective_max_mixed_slabs: Optional[int] = None,
+        projective_max_free_slabs: Optional[int] = None,
     ):
         self.map_config = map_config
         self.cfg = integrator_config
@@ -66,6 +70,11 @@ class TsdfServer:
         self.projective_resolution = tuple(projective_resolution)
         self.projective_fov = float(np.deg2rad(projective_fov_deg))
         self.projective_kind = projective_kind
+        self.projective_budgets = dict(
+            max_visible_blocks=projective_max_visible_blocks,
+            max_mixed_slabs=projective_max_mixed_slabs,
+            max_free_slabs=projective_max_free_slabs,
+        )
         self.enable_icp = enable_icp
         self.icp_config = icp_config
         self.max_block_distance = max_block_distance_from_body
@@ -127,6 +136,7 @@ class TsdfServer:
                         resolution=self.projective_resolution,
                         fov_h_rad=self.projective_fov,
                         kind=self.projective_kind,
+                        **self.projective_budgets,
                     )
                 )
             else:
