@@ -245,3 +245,91 @@ def test_free_slab_budget_overflow_and_equivalence():
         max_mixed_slabs=1,
     )
     assert bool(ovf_tiny)
+
+
+def test_hiz_query_conservative_vs_bruteforce():
+    """HiZ footprint bounds must CONTAIN the true min/max of the
+    effective-range image over any pixel box — on a square image (square
+    pyramid) and a 16:1 skewed image (anisotropic chain)."""
+    rng = np.random.RandomState(7)
+    for (h, w) in ((48, 64), (8, 128)):
+        img = rng.uniform(1.0, 9.0, (h, w)).astype(np.float32)
+        img[rng.uniform(size=(h, w)) < 0.3] = np.inf  # no-return pixels
+        cfgl = TsdfIntegratorConfig(
+            default_truncation_distance=0.4, max_ray_length_m=8.0
+        )
+        ri = projective.RangeImage(
+            rng=jnp.asarray(img), color=jnp.zeros((h, w, 3)),
+            params=jnp.zeros(4), kind="pinhole",
+        )
+        eff = np.asarray(projective._pix_eff(ri, cfgl))
+        eff_band = np.where(np.isfinite(eff), eff, np.inf)
+        hiz = jax.tree_util.tree_map(
+            lambda x: x, projective._hiz_tables(jnp.asarray(eff))
+        )
+        boxes = []
+        for _ in range(200):
+            u0 = rng.randint(0, w); u1 = rng.randint(u0, w)
+            v0 = rng.randint(0, h); v1 = rng.randint(v0, h)
+            boxes.append((u0, u1, v0, v1))
+        b = np.asarray(boxes, np.int32)
+        lo, lo_band, hi = projective._hiz_query(
+            hiz, jnp.asarray(b[:, 0]), jnp.asarray(b[:, 1]),
+            jnp.asarray(b[:, 2]), jnp.asarray(b[:, 3]),
+        )
+        lo, lo_band, hi = np.asarray(lo), np.asarray(lo_band), np.asarray(hi)
+        for i, (u0, u1, v0, v1) in enumerate(boxes):
+            sub = eff[v0:v1 + 1, u0:u1 + 1]
+            sub_band = eff_band[v0:v1 + 1, u0:u1 + 1]
+            assert lo[i] <= sub.min() + 1e-6
+            assert lo_band[i] <= sub_band.min() + 1e-6
+            assert hi[i] >= sub.max() - 1e-6
+
+
+def test_spherical_lidar_pipeline_accuracy():
+    """Velodyne-style spherical scans (sparse, no-return pixels, carving
+    off) integrate to an accurate band around ground + wall surfaces."""
+    w = sw.SimulationWorld()
+    w.add_ground_level(0.0)
+    w.add_plane((0.0, 4.0, 2.0), (0.0, -1.0, 0.0), color=(200, 100, 50))
+    objs = w.freeze()
+    voxel = 0.2
+    cfgl = TsdfIntegratorConfig(
+        default_truncation_distance=4 * voxel, max_ray_length_m=15.0,
+        voxel_carving_enabled=False,
+    )
+    reso = (256, 32)
+    layer = vlayer.make_layer("tsdf", voxel, vps=16, max_blocks=1024)
+    for i in range(2):
+        pos = jnp.asarray([1.0 * i, 0.0, 1.5], jnp.float32)
+        pts_C, cols, valid = sw.spherical_pointcloud_from_transform(
+            objs, (jnp.eye(3), pos), reso, fov_up_deg=5.0,
+            fov_down_deg=-30.0, max_dist=15.0,
+        )
+        layer, ovf = projective.integrate_pointcloud_projective(
+            layer, (jnp.eye(3), pos), pts_C, cols, cfgl,
+            resolution=reso, kind="spherical",
+        )
+        assert not bool(ovf)
+    # Observed voxels near the ground plane must carry |tsdf| ~ |z|.
+    d = np.asarray(layer.channels["tsdf"])
+    wgt = np.asarray(layer.channels["weight"])
+    import voxblox_tpu.core.grid as gridm
+    lin = np.arange(layer.voxels_per_block)
+    local = np.asarray(gridm.linear_to_local(jnp.asarray(lin), layer.vps))
+    gvi = (np.asarray(layer.block_ijk)[:, None, :] * layer.vps
+           + local[None, :, :])
+    centers = (gvi + 0.5) * voxel
+    z = centers[..., 2].reshape(d.shape)
+    y = centers[..., 1].reshape(d.shape)
+    # Projective TSDF stores ALONG-RAY distances (reference semantics):
+    # under grazing lidar incidence |d| >> |z|, so assert the SIGNED zero
+    # crossing sits at the plane: observed voxels clearly above ground
+    # are positive, clearly below are negative.
+    m = (wgt > 1e-6) & (y < 3.0)
+    assert m.sum() > 200
+    above = m & (z > 0.5 * voxel)
+    below = m & (z < -0.5 * voxel)
+    assert above.sum() > 100 and below.sum() > 20
+    assert (d[above] > 0).mean() > 0.99
+    assert (d[below] < 0).mean() > 0.9
