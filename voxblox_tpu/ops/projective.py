@@ -758,7 +758,13 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     d_w = jnp.zeros((n_all, slab_vox), jnp.float32)
     d_wd = jnp.zeros((n_all, slab_vox), jnp.float32)
     d_cw = jnp.zeros((n_all, slab_vox), jnp.float32)
-    d_wc = jnp.zeros((n_all, slab_vox, 3), jnp.float32)
+    # Color deltas are PLANAR (three 2D arrays): any [*, slab_vox, 3]
+    # array tiles its trailing (128, 3) dims to (128, 128) on TPU — 42x
+    # padded memory, and its scatters/reshapes relayout-copy at GB scale
+    # (measured ~25 ms/scan on lidar-sized visible sets).
+    d_wc3 = tuple(
+        jnp.zeros((n_all, slab_vox), jnp.float32) for _ in range(3)
+    )
 
     # ---- FREE slabs: carving update, no image access ----
     if cfg.voxel_carving_enabled:
@@ -804,7 +810,10 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     r_min = g8[..., 1]
     du = jnp.where(jnp.isfinite(g8[..., 2]), g8[..., 2], 0.0)
     dv = jnp.where(jnp.isfinite(g8[..., 3]), g8[..., 3], 0.0)
-    pix_color = jnp.where(jnp.isfinite(g8[..., 4:7]), g8[..., 4:7], 0.0)
+    pix_color3 = tuple(
+        jnp.where(jnp.isfinite(g8[..., 4 + c]), g8[..., 4 + c], 0.0)
+        for c in range(3)
+    )
     r_img = r_nearest + du * (u_m - ui_m) + dv * (v_m - vi_m)
 
     def effective(r):
@@ -861,18 +870,22 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
         cw = jnp.where((w0 > 0) & (jnp.abs(sdf) < trunc) & has_surface,
                        w0, 0.0)
         d_cw = d_cw.at[slab_ids].add(cw, mode="drop", unique_indices=True)
-        d_wc = d_wc.at[slab_ids].add(cw[..., None] * pix_color, mode="drop",
-                                     unique_indices=True)
+        d_wc3 = tuple(
+            a.at[slab_ids].add(cw * pc, mode="drop", unique_indices=True)
+            for a, pc in zip(d_wc3, pix_color3)
+        )
 
-    # Deltas return FLAT per-row: [B, v^3] / [B, 3*v^3]. TPU tiles the
-    # last two dims to (8, 128); cube-shaped [B, v, v, v] intermediates
-    # pad 16 -> 128 lanes (8x memory AND scatter bandwidth), which OOMs
-    # large pools. Flat rows are multiples of 128 — no padding.
+    # Deltas return FLAT per-row [B, v^3] (color planar, one per rgb
+    # channel). TPU tiles the last two dims to (8, 128); cube-shaped
+    # [B, v, v, v] intermediates pad 16 -> 128 lanes (8x memory AND
+    # scatter bandwidth, OOMs large pools), and trailing-3 color arrays
+    # pad 42x. Flat rows are multiples of 128 — no padding.
     vpb = layer.voxels_per_block
     return (
         layer, rows, row_ok,
         d_w.reshape(B, vpb), d_wd.reshape(B, vpb),
-        d_cw.reshape(B, vpb), d_wc.reshape(B, vpb * 3),
+        d_cw.reshape(B, vpb),
+        tuple(a.reshape(B, vpb) for a in d_wc3),
         overflowed,
     )
 
@@ -890,7 +903,7 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
                          max_mixed_slabs: int,
                          max_free_slabs: int | None = None):
     img = RangeImage(rng=rng_img, color=color_img, params=params, kind=kind)
-    (layer, rows, row_ok, d_w, d_wd, d_cw, d_wc, overflowed) = _scan_terms(
+    (layer, rows, row_ok, d_w, d_wd, d_cw, d_wc3, overflowed) = _scan_terms(
         layer, R, t, img, cfg, use_color, max_visible_blocks,
         max_mixed_slabs, max_free_slabs=max_free_slabs,
     )
@@ -899,14 +912,10 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
     mb = layer.max_blocks
     vpb = layer.voxels_per_block
 
-    def rep3(x):
-        # [B, vpb] -> [B, 3*vpb] rgb-interleaved broadcast (keeps all
-        # color math in flat pad-free 2D — a [B, vpb, 3] intermediate
-        # would tile its minor dim 3 up to 128 lanes).
-        return jnp.repeat(x, 3, axis=-1, total_repeat_length=x.shape[-1] * 3)
-
     # Fused running-average update on the visible rows, all in flat 2D
-    # (updateTsdfVoxel, tsdf_integrator.cc:186-208).
+    # (updateTsdfVoxel, tsdf_integrator.cc:186-208). Color math runs per
+    # rgb PLANE via strided lane slices of the interleaved channel — a
+    # [*, vpb, 3] intermediate would tile 3 -> 128 lanes (42x).
     old_d = layer.channels["tsdf"].reshape(mb, vpb)[safe_rows]
     old_w = layer.channels["weight"].reshape(mb, vpb)[safe_rows]
     new_w_raw = old_w + d_w
@@ -927,11 +936,14 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
         out_w, mode="drop", unique_indices=True
     ).reshape(ch["weight"].shape)
     if use_color:
-        old_c = layer.channels["color"].reshape(mb, vpb * 3)[safe_rows]
-        new_c = (old_c * rep3(old_w) + d_wc) / jnp.maximum(
-            rep3(old_w + d_cw), grid.FLOAT_EPS
-        )
-        out_c = jnp.where(rep3(d_cw) > 0, new_c, old_c)
+        old_cf = layer.channels["color"].reshape(mb, vpb * 3)[safe_rows]
+        denom_c = jnp.maximum(old_w + d_cw, grid.FLOAT_EPS)
+        ctouched = d_cw > 0
+        out_c = old_cf
+        for c in range(3):
+            oc = old_cf[:, c::3]
+            nc = (oc * old_w + d_wc3[c]) / denom_c
+            out_c = out_c.at[:, c::3].set(jnp.where(ctouched, nc, oc))
         ch["color"] = ch["color"].reshape(mb, vpb * 3).at[write_rows].set(
             out_c, mode="drop", unique_indices=True
         ).reshape(ch["color"].shape)
@@ -1045,20 +1057,16 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
     # for large pools. Large pools therefore switch to FLAT accumulators
     # ([mb, v^3] / [mb, 3*v^3]) and pay the one-time fold relayout.
     flat_acc = mb * vpb * 4 * 6 * 8 > 8 << 30  # padded cube accs > 8 GiB
-    if flat_acc:
-        acc = (
-            jnp.zeros((mb, vpb), jnp.float32),
-            jnp.zeros((mb, vpb), jnp.float32),
-            jnp.zeros((mb, vpb), jnp.float32),
-            jnp.zeros((mb, vpb * 3), jnp.float32),
-        )
-    else:
-        acc = (
-            jnp.zeros((mb, v, v, v), jnp.float32),
-            jnp.zeros((mb, v, v, v), jnp.float32),
-            jnp.zeros((mb, v, v, v), jnp.float32),
-            jnp.zeros((mb, v, v, v, 3), jnp.float32),
-        )
+    shp = (mb, vpb) if flat_acc else (mb, v, v, v)
+    # Color accumulators are PLANAR (one per rgb channel): trailing-3
+    # arrays tile 3 -> 128 lanes (42x padded memory + relayout copies).
+    acc = (
+        jnp.zeros(shp, jnp.float32),
+        jnp.zeros(shp, jnp.float32),
+        jnp.zeros(shp, jnp.float32),
+        (jnp.zeros(shp, jnp.float32), jnp.zeros(shp, jnp.float32),
+         jnp.zeros(shp, jnp.float32)),
+    )
 
     # Build ALL K range images + per-pixel feature tables + HiZ pyramids
     # up front as single [K, ...] batched passes. Doing this inside the
@@ -1088,82 +1096,78 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
         R, t, rng_i, col_i, par_i, feat_i, hflat_i = scan
         img = RangeImage(rng=rng_i, color=col_i, params=par_i, kind=kind)
         hiz = (hflat_i, hiz_meta, hiz_max_lvls)
-        geom, rows, row_ok, d_w, d_wd, d_cw, d_wc, o = _scan_terms(
+        geom, rows, row_ok, d_w, d_wd, d_cw, d_wc3, o = _scan_terms(
             geom, R, t, img, cfg, use_color, max_visible_blocks,
             max_mixed_slabs, feat=feat_i, hiz=hiz,
             max_free_slabs=max_free_slabs,
         )
         write_rows = jnp.where(row_ok, rows, mb)
-        a_w, a_wd, a_cw, a_wc = acc
+        a_w, a_wd, a_cw, a_wc3 = acc
         if not flat_acc:
             b = d_w.shape[0]
             d_w = d_w.reshape(b, v, v, v)
             d_wd = d_wd.reshape(b, v, v, v)
             d_cw = d_cw.reshape(b, v, v, v)
-            d_wc = d_wc.reshape(b, v, v, v, 3)
+            d_wc3 = tuple(a.reshape(b, v, v, v) for a in d_wc3)
         a_w = a_w.at[write_rows].add(d_w, mode="drop", unique_indices=True)
         a_wd = a_wd.at[write_rows].add(d_wd, mode="drop", unique_indices=True)
         if use_color:
             a_cw = a_cw.at[write_rows].add(d_cw, mode="drop",
                                            unique_indices=True)
-            a_wc = a_wc.at[write_rows].add(d_wc, mode="drop",
-                                           unique_indices=True)
-        return (geom, (a_w, a_wd, a_cw, a_wc), ovf | o), None
+            a_wc3 = tuple(
+                a.at[write_rows].add(d, mode="drop", unique_indices=True)
+                for a, d in zip(a_wc3, d_wc3)
+            )
+        return (geom, (a_w, a_wd, a_cw, a_wc3), ovf | o), None
 
     (geom, acc, overflowed), _ = jax.lax.scan(
         body, (geom, acc, jnp.asarray(False)),
         (Rs, ts, rngs, colors_i, params_i, feats, hiz_flats),
     )
-    d_w, d_wd, d_cw, d_wc = acc
+    d_w, d_wd, d_cw, d_wc3 = acc
     ch = dict(layer.channels)
 
     if flat_acc:
-        def rep3(x):
-            return jnp.repeat(x, 3, axis=-1,
-                              total_repeat_length=x.shape[-1] * 3)
-
         old_d = layer.channels["tsdf"].reshape(mb, vpb)
         old_w = layer.channels["weight"].reshape(mb, vpb)
-        new_w_raw = old_w + d_w
-        touched = d_w > 0.0
-        new_d = jnp.clip(
-            (old_d * old_w + d_wd) / jnp.maximum(new_w_raw, grid.FLOAT_EPS),
-            -trunc, trunc,
-        )
-        cube = ch["tsdf"].shape
-        ch["tsdf"] = jnp.where(touched, new_d, old_d).reshape(cube)
-        ch["weight"] = jnp.where(
-            touched, jnp.minimum(new_w_raw, cfg.max_weight), old_w
-        ).reshape(cube)
-        if use_color:
-            old_c = layer.channels["color"].reshape(mb, vpb * 3)
-            new_c = (old_c * rep3(old_w) + d_wc) / jnp.maximum(
-                rep3(old_w + d_cw), grid.FLOAT_EPS
-            )
-            ch["color"] = jnp.where(rep3(d_cw) > 0, new_c, old_c).reshape(
-                layer.channels["color"].shape
-            )
-        row_touched = jnp.any(touched, axis=-1)
     else:
         old_d = layer.channels["tsdf"]
         old_w = layer.channels["weight"]
-        new_w_raw = old_w + d_w
-        touched = d_w > 0.0
-        new_d = jnp.clip(
-            (old_d * old_w + d_wd) / jnp.maximum(new_w_raw, grid.FLOAT_EPS),
-            -trunc, trunc,
-        )
-        ch["tsdf"] = jnp.where(touched, new_d, old_d)
-        ch["weight"] = jnp.where(
-            touched, jnp.minimum(new_w_raw, cfg.max_weight), old_w
-        )
-        if use_color:
-            old_c = layer.channels["color"]
-            new_c = (old_c * old_w[..., None] + d_wc) / jnp.maximum(
-                old_w + d_cw, grid.FLOAT_EPS
-            )[..., None]
-            ch["color"] = jnp.where((d_cw > 0)[..., None], new_c, old_c)
-        row_touched = jnp.any(touched, axis=(1, 2, 3))
+    new_w_raw = old_w + d_w
+    touched = d_w > 0.0
+    new_d = jnp.clip(
+        (old_d * old_w + d_wd) / jnp.maximum(new_w_raw, grid.FLOAT_EPS),
+        -trunc, trunc,
+    )
+    cube = ch["tsdf"].shape
+    ch["tsdf"] = jnp.where(touched, new_d, old_d).reshape(cube)
+    ch["weight"] = jnp.where(
+        touched, jnp.minimum(new_w_raw, cfg.max_weight), old_w
+    ).reshape(cube)
+    if use_color and flat_acc:
+        # Per-plane color fold through strided lane slices of the
+        # interleaved channel (no trailing-3 intermediates, whose
+        # relayouts dominate at large pools).
+        old_cf = layer.channels["color"].reshape(mb, vpb * 3)
+        denom_c = jnp.maximum(old_w + d_cw, grid.FLOAT_EPS)
+        ctouched = d_cw > 0
+        out_c = old_cf
+        for c in range(3):
+            oc = old_cf[:, c::3]
+            nc = (oc * old_w + d_wc3[c]) / denom_c
+            out_c = out_c.at[:, c::3].set(jnp.where(ctouched, nc, oc))
+        ch["color"] = out_c.reshape(layer.channels["color"].shape)
+    elif use_color:
+        # Small pools: interleave the planar accumulators once and fold
+        # in the channel's native layout (measured faster than strided
+        # per-plane passes at this scale).
+        d_wc = jnp.stack(d_wc3, axis=-1)
+        old_c = layer.channels["color"]
+        new_c = (old_c * old_w[..., None] + d_wc) / jnp.maximum(
+            old_w + d_cw, grid.FLOAT_EPS
+        )[..., None]
+        ch["color"] = jnp.where((d_cw > 0)[..., None], new_c, old_c)
+    row_touched = jnp.any(touched.reshape(mb, vpb), axis=-1)
 
     layer = dataclasses.replace(
         layer,
