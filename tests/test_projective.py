@@ -106,6 +106,45 @@ def test_projective_vs_simple_consistency():
     assert coverage > 0.85, coverage
 
 
+def test_wide_fov_peripheral_blocks_not_culled():
+    """At FOV 120° the corner view angle makes range >> depth: the HiZ
+    pre-allocation cull must still admit peripheral blocks (its pixel
+    footprint bound uses focal/depth via the kappa secant bound, not
+    focal/range), and the bound must stay tight enough not to allocate
+    the whole range shell."""
+    w, objs = _scene()
+    fov = np.deg2rad(120.0)
+    cfg = TsdfIntegratorConfig(
+        default_truncation_distance=TRUNC, max_ray_length_m=10.0
+    )
+    proj = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    simp = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
+    for pose in _poses(2):
+        pts_G, colors, valid = sw.pointcloud_from_transform(
+            objs, pose, RES, fov, max_dist=10.0
+        )
+        pts_C = sw.world_points_to_sensor(pose, pts_G, valid)
+        proj, _ = projective.integrate_pointcloud_projective(
+            proj, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=fov
+        )
+        simp, _, _ = tsdf.integrate_pointcloud(
+            simp, pose, pts_C, colors, cfg, method="simple"
+        )
+    vpb = simp.voxels_per_block
+    slots = np.asarray(vlayer.lookup_blocks(proj, simp.block_ijk))
+    ok = np.asarray(simp.active_mask()) & (slots >= 0)
+    s_w = np.asarray(simp.channels["weight"]).reshape(-1, vpb)[ok]
+    s_d = np.asarray(simp.channels["tsdf"]).reshape(-1, vpb)[ok]
+    p_w = np.asarray(proj.channels["weight"]).reshape(-1, vpb)[slots[ok]]
+    near = (s_w > 1e-6) & (np.abs(s_d) < TRUNC / 2)
+    coverage = (near & (p_w > 1e-6)).sum() / max(near.sum(), 1)
+    assert coverage > 0.85, coverage
+    # Tightness: don't allocate wildly more blocks than the DDA path.
+    n_p = int(np.asarray(proj.active_mask()).sum())
+    n_s = int(np.asarray(simp.active_mask()).sum())
+    assert n_p < 2 * n_s, (n_p, n_s)
+
+
 def test_range_image_binning():
     pts = jnp.asarray(
         [[0.0, 0.0, 2.0], [0.5, 0.0, 2.0], [0.0, 0.0, 4.0]], jnp.float32

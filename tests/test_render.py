@@ -45,6 +45,17 @@ def test_ray_missing_surface():
     assert not bool(hit[0])
 
 
+def test_fit_dense_grid_dim():
+    """Maps wider than the default dense grid get an auto-scaled dim so
+    far blocks are not silently treated as empty."""
+    objs, layer = _sphere_layer()
+    assert render.fit_dense_grid_dim(layer, 64) == 64
+    # A sphere 12 m away at 0.1 m voxels / vps=8 puts blocks ~15+ block
+    # widths apart per axis — still under 64; shrink the budget instead.
+    assert render.fit_dense_grid_dim(layer, 4) % 16 == 0
+    assert render.fit_dense_grid_dim(layer, 4) > 4
+
+
 def test_render_depth_accuracy():
     objs, layer = _sphere_layer()
     n = 32

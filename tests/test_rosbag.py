@@ -46,6 +46,38 @@ def test_pointcloud2_roundtrip():
     np.testing.assert_array_equal(d["colors"], cols)
 
 
+def test_pointcloud2_padded_rows_and_endianness():
+    """Organized clouds with row_step > width*point_step (padded rows)
+    must decode by slicing per row; big-endian data must raise."""
+    import struct
+
+    rng = np.random.default_rng(1)
+    h, w = 3, 5
+    pts = rng.normal(size=(h * w, 3)).astype(np.float32)
+    point_step, pad = 12, 20
+    row_step = w * point_step + pad
+
+    def build(is_bigendian):
+        out = rosbag._pack_header(1.0, "cam")
+        out += struct.pack("<II", h, w)
+        out += struct.pack("<I", 3)
+        for name, off in (("x", 0), ("y", 4), ("z", 8)):
+            out += rosbag._pack_string(name) + struct.pack("<IBI", off, 7, 1)
+        out += struct.pack("<BII", is_bigendian, point_step, row_step)
+        rows = pts.reshape(h, w * 3).view(np.uint8)
+        data = np.zeros((h, row_step), np.uint8)
+        data[:, : w * point_step] = rows
+        flat = data.reshape(-1)
+        out += struct.pack("<I", len(flat)) + flat.tobytes()
+        out += struct.pack("<B", 1)
+        return out
+
+    d = rosbag.decode_pointcloud2(build(0))
+    np.testing.assert_array_equal(d["points"], pts)
+    with pytest.raises(ValueError, match="big-endian"):
+        rosbag.decode_pointcloud2(build(1))
+
+
 def test_transform_and_tf_roundtrip():
     t = np.array([1.0, -2.0, 0.5])
     q = np.array([0.1, 0.2, 0.3, 0.926])

@@ -385,8 +385,25 @@ def decode_pointcloud2(raw: bytes):
     i += 9
     (dlen,) = struct.unpack_from("<I", raw, i)
     i += 4
+    if is_bigendian:
+        raise ValueError(
+            "decode_pointcloud2: big-endian PointCloud2 data is not "
+            "supported (is_bigendian=1)"
+        )
     data = np.frombuffer(raw, np.uint8, dlen, i)
     n = height * width
+    if row_step != width * point_step:
+        # Organized cloud with padded rows: slice the payload per row.
+        if row_step < width * point_step or dlen < height * row_step:
+            raise ValueError(
+                "decode_pointcloud2: inconsistent row_step "
+                f"({row_step}) for width={width} point_step={point_step}"
+            )
+        data = (
+            data[: height * row_step]
+            .reshape(height, row_step)[:, : width * point_step]
+            .reshape(-1)
+        )
     rows = data[: n * point_step].reshape(n, point_step)
 
     def field(name):

@@ -249,8 +249,24 @@ def _candidate_blocks(layer, img, R, t, cfg, hiz=None):
     h, w = img.rng.shape
     margin_m = bs * float(np.sqrt(3)) / 2.0
     if img.kind == "pinhole":
-        fx = img.params[0]
-        pix_margin = fx * margin_m / jnp.maximum(r - margin_m, 1e-3)
+        # Pixel footprint of a margin_m-radius sphere: the projection
+        # scale is focal/DEPTH, not focal/range — range >= depth, so a
+        # plain f/(r-margin) underestimates the footprint for off-axis
+        # blocks and the HiZ cull below could drop a block a just-outside
+        # pixel would update. Any sphere point that lands IN the image
+        # has r'/z' <= kappa (the secant of the corner view angle), so
+        # z' >= (r - margin)/kappa and f/z' <= kappa*f/(r - margin):
+        # conservative yet bounded (using raw z instead explodes for
+        # small-z off-axis blocks and admits the whole range shell).
+        fx, fy, cx, cy = (img.params[0], img.params[1], img.params[2],
+                          img.params[3])
+        f = jnp.maximum(fx, fy)
+        kappa = jnp.sqrt(
+            1.0
+            + ((jnp.maximum(cx, w - cx) + 1.0) / fx) ** 2
+            + ((jnp.maximum(cy, h - cy) + 1.0) / fy) ** 2
+        )
+        pix_margin = kappa * f * margin_m / jnp.maximum(r - margin_m, 1e-3)
     else:
         pix_margin = margin_m / jnp.maximum(r - margin_m, 1e-3) / img.params[2]
     ok = (

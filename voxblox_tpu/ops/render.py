@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import grid
 from ..core import layer as vlayer
@@ -106,7 +107,10 @@ def render_depth(
 
     ``dense_grid_dim``: side of the dense block->slot acceleration grid
     (see below); maps larger than dense_grid_dim blocks per axis treat
-    out-of-grid blocks as empty (raise it for very large maps).
+    out-of-grid blocks as empty (rays over them report max_distance
+    misses). Callers with concrete layers should size it with
+    ``fit_dense_grid_dim`` (``render_depth_image`` does so
+    automatically).
     """
     vs = layer.voxel_size
     bs = layer.block_size
@@ -399,10 +403,35 @@ def render_depth(
     return depth, hit
 
 
+def fit_dense_grid_dim(layer, dense_grid_dim: int = 64) -> int:
+    """Size render_depth's dense acceleration grid to the ACTIVE map.
+
+    The grid is anchored at the min active block; active blocks at
+    relative coordinate >= dense_grid_dim would silently be treated as
+    empty. This host-side helper (one device->host readback) returns
+    max(dense_grid_dim, active bbox extent rounded up to a multiple of
+    16) so the whole map fits; the multiple-of-16 rounding bounds jit
+    recompiles as the map grows.
+    """
+    active = np.asarray(layer.active_mask())
+    if not active.any():
+        return dense_grid_dim
+    ijk = np.asarray(layer.block_ijk)[active]
+    extent = int((ijk.max(axis=0) - ijk.min(axis=0)).max()) + 1
+    if extent <= dense_grid_dim:
+        return dense_grid_dim
+    return ((extent + 15) // 16) * 16
+
+
 def render_depth_image(layer, T_G_C, intrinsics, resolution, max_distance,
                       **kw):
     """Render a pinhole depth image. intrinsics = (fx, fy, cx, cy);
-    resolution = (W, H). Returns depth [H, W] (+ color, hit)."""
+    resolution = (W, H). Returns depth [H, W] (+ color, hit).
+
+    Auto-sizes the dense acceleration grid to the active map unless the
+    caller passes an explicit ``dense_grid_dim``."""
+    if "dense_grid_dim" not in kw:
+        kw["dense_grid_dim"] = fit_dense_grid_dim(layer)
     w, h = resolution
     fx, fy, cx, cy = intrinsics
     us = jnp.arange(w, dtype=jnp.float32)

@@ -149,11 +149,26 @@ def shard_layer_blocks(mesh: Mesh, layer: vlayer.VoxelLayer):
 
 def lower_sweep_sharded(mesh: Mesh, esdf_layer, cfg, region_rows=None):
     """ESDF sweep with the pool block-sharded; XLA inserts the halo
-    collectives for cross-shard neighbor gathers."""
+    collectives for cross-shard neighbor gathers.
+
+    Like the single-device entry points (ops.esdf.update_from_tsdf_batch),
+    a working-set overflow (cfg.max_active_blocks smaller than the live
+    active set — some rows would be left unswept) is retried with a
+    doubled budget until the sweep covers everything or the budget hits
+    the pool size."""
     esdf_layer = shard_layer_blocks(mesh, esdf_layer)
     fn = jax.jit(lower_sweep, static_argnames=("cfg",))
-    layer_out, iters, _region_ovf = fn(esdf_layer, cfg, region_rows)
-    return layer_out, iters
+    run_cfg = cfg
+    while True:
+        layer_out, iters, region_ovf = fn(esdf_layer, run_cfg, region_rows)
+        if run_cfg.max_active_blocks is None or not bool(region_ovf):
+            return layer_out, iters
+        k = min(run_cfg.max_active_blocks * 2, esdf_layer.max_blocks)
+        if k == run_cfg.max_active_blocks:
+            raise RuntimeError(
+                "lower_sweep_sharded: working set exceeds the pool size"
+            )
+        run_cfg = dataclasses.replace(run_cfg, max_active_blocks=k)
 
 
 def render_loss_grad_sharded(
