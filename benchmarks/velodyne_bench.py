@@ -55,9 +55,9 @@ ts_ = jnp.stack(poses)
 pts = jnp.stack([s[0] for s in scans])
 cols = jnp.stack([s[1] for s in scans])
 
-MVB = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-MMS = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
-MFS = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
+MVB = int(sys.argv[1]) if len(sys.argv) > 1 else 3072
+MMS = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+MFS = int(sys.argv[3]) if len(sys.argv) > 3 else 512
 
 layer = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=16384)
 

@@ -565,24 +565,51 @@ def _classify_slabs(layer, safe_rows, row_ok, R, t, img, hiz, cfg):
     else:
         az0, el0, daz, dele = (img.params[0], img.params[1], img.params[2],
                                img.params[3])
-        center = (box_lo + box_hi) / 2.0
-        half_diag = jnp.linalg.norm((box_hi - box_lo) / 2.0, axis=-1)
-        c_C = (center - t) @ R
-        r_c = jnp.linalg.norm(c_C, axis=-1)
-        rho = jnp.hypot(c_C[..., 0], c_C[..., 1])
-        classifiable = (rho > 2 * half_diag) & (r_c > 2 * half_diag)
-        th_az = jnp.arcsin(jnp.clip(half_diag / jnp.maximum(rho, 1e-6),
-                                    0.0, 1.0))
-        th_el = jnp.arcsin(jnp.clip(half_diag / jnp.maximum(r_c, 1e-6),
-                                    0.0, 1.0))
-        az_c = jnp.arctan2(c_C[..., 1], c_C[..., 0])
-        el_c = jnp.arcsin(c_C[..., 2] / jnp.maximum(r_c, 1e-6))
-        # Azimuth seam wrap -> unclassifiable (rare).
-        classifiable &= (az_c - th_az >= -np.pi) & (az_c + th_az <= np.pi)
-        u0 = (az_c - th_az - az0) / daz - 0.5
-        u1 = (az_c + th_az - az0) / daz - 0.5
-        v0 = (el_c - th_el - el0) / dele - 0.5
-        v1 = (el_c + th_el - el0) / dele - 0.5
+        # ANISOTROPIC angular footprint from the slab's sensor-frame
+        # corners. The old bounding-sphere (half_diag) bound inflated the
+        # elevation extent of a flat 16x8x1 slab ~10x at range, spanning
+        # many lidar beams and mixing far beams' ranges into every
+        # footprint — most of the spurious MIXED classifications.
+        # - azimuth: atan2 extremes over a convex solid are attained at
+        #   tangent points, which for the projected corner hull are
+        #   corner vertices -> corner min/max is exact (guarded against
+        #   the +-pi seam and the sensor standing inside the xy shadow);
+        # - elevation: atan2(z, rho) is monotone in z and in rho ->
+        #   bound with corner z extremes x conservative rho bounds
+        #   (rho_hi = corner max, convexity; rho_lo = distance to the
+        #   sensor-frame corner AABB's xy box <= true min).
+        cxs = slab_corners(p_C[..., 0])
+        cys = slab_corners(p_C[..., 1])
+        czs = slab_corners(p_C[..., 2])
+        z_lo = jnp.min(czs, -1)
+        z_hi = jnp.max(czs, -1)
+        x_lo = jnp.min(cxs, -1)
+        x_hi = jnp.max(cxs, -1)
+        y_lo = jnp.min(cys, -1)
+        y_hi = jnp.max(cys, -1)
+        rho_hi = jnp.max(jnp.hypot(cxs, cys), -1)
+        rho_lo = jnp.hypot(
+            jnp.maximum(jnp.maximum(x_lo, -x_hi), 0.0),
+            jnp.maximum(jnp.maximum(y_lo, -y_hi), 0.0),
+        )
+        az_cor = jnp.arctan2(cys, cxs)
+        az_lo = jnp.min(az_cor, -1)
+        az_hi = jnp.max(az_cor, -1)
+        classifiable = (rho_lo > 1e-6) & (az_hi - az_lo < np.pi)
+        el_hi = jnp.maximum(
+            jnp.arctan2(z_hi, rho_lo), jnp.arctan2(z_hi, rho_hi)
+        )
+        el_lo = jnp.minimum(
+            jnp.arctan2(z_lo, rho_lo), jnp.arctan2(z_lo, rho_hi)
+        )
+        ua = (az_lo - az0) / daz - 0.5
+        ub = (az_hi - az0) / daz - 0.5
+        va = (el_lo - el0) / dele - 0.5
+        vb = (el_hi - el0) / dele - 0.5
+        u0 = jnp.minimum(ua, ub)
+        u1 = jnp.maximum(ua, ub)
+        v0 = jnp.minimum(va, vb)
+        v1 = jnp.maximum(va, vb)
 
     # Voxel centers round to pixels in [floor(u0+.5), floor(u1+.5)].
     p0u = jnp.floor(u0 + 0.5).astype(jnp.int32)
