@@ -45,8 +45,8 @@ def make_scan(pos):
     )
     return pts_C, cols
 
-K = 4
-poses = [jnp.asarray([-20.0 + 5.0 * i, 0.0, 2.0], jnp.float32)
+K = 16
+poses = [jnp.asarray([-20.0 + 2.5 * i, 0.0, 2.0], jnp.float32)
          for i in range(K)]
 scans = [make_scan(p) for p in poses]
 jax.block_until_ready(scans[-1][0])
@@ -64,7 +64,8 @@ layer = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=16384)
 def run(layer, i):
     layer, ovf = P.integrate_pointcloud_projective_batch(
         layer, Rs, ts_ + i * 1e-5, pts, cols, cfg,
-        resolution=(2048, 64), kind="spherical",
+        resolution=(2048, 64), kind="spherical_organized",
+        fov_up_deg=3.0, fov_down_deg=-25.0,
         max_visible_blocks=MVB, max_mixed_slabs=MMS, max_free_slabs=MFS,
     )
     return layer, ovf

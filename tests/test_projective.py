@@ -325,6 +325,32 @@ def test_hiz_query_conservative_vs_bruteforce():
             assert hi[i] >= sub.max() - 1e-6
 
 
+def test_spherical_organized_matches_scatter_builder():
+    """A raster-ordered lidar scan binned by the scatter-free organized
+    builder equals the unstructured scatter builder's image (same fov)."""
+    w = sw.SimulationWorld()
+    w.add_ground_level(0.0)
+    w.add_cylinder((3.0, 1.0, 1.0), 0.5, 2.0, color=(200, 50, 50))
+    objs = w.freeze()
+    reso = (128, 16)
+    pos = jnp.asarray([0.0, 0.0, 1.2], jnp.float32)
+    pts_C, cols, valid = sw.spherical_pointcloud_from_transform(
+        objs, (jnp.eye(3), pos), reso, fov_up_deg=5.0, fov_down_deg=-30.0,
+        max_dist=12.0,
+    )
+    a = projective.build_spherical_range_image(
+        pts_C, cols, reso, fov_up_deg=5.0, fov_down_deg=-30.0
+    )
+    b = projective.build_spherical_range_image_organized(
+        pts_C, cols, reso, fov_up_deg=5.0, fov_down_deg=-30.0
+    )
+    np.testing.assert_allclose(np.asarray(a.rng), np.asarray(b.rng),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.params), np.asarray(b.params))
+
+
 def test_spherical_lidar_pipeline_accuracy():
     """Velodyne-style spherical scans (sparse, no-return pixels, carving
     off) integrate to an accurate band around ground + wall surfaces."""

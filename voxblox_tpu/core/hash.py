@@ -137,8 +137,18 @@ def insert(table: HashTable, w0, w1, valid, base_slot=None):
     if base_slot is None:
         base_slot = table.count
 
-    def body(_, state):
-        keys_w0, keys_w1, slot_arr, assigned, max_psl, disp, out, pending = state
+    def cond(state):
+        # Early exit: each probe round costs ~0.2 ms of random
+        # gathers/scatters on TPU, and at the <=25% design load factor
+        # nearly all lanes resolve within 2-3 rounds — a fixed
+        # MAX_INSERT_ROUNDS fori_loop was measured at 13 ms/scan on the
+        # velodyne workload vs <1 ms with the exit condition.
+        *_rest, rounds, pending = state
+        return jnp.logical_and(rounds < MAX_INSERT_ROUNDS, jnp.any(pending))
+
+    def body(state):
+        (keys_w0, keys_w1, slot_arr, assigned, max_psl, disp, out, rounds,
+         pending) = state
         idx = ((h + disp.astype(jnp.uint32)) & mask).astype(jnp.int32)
         k0 = keys_w0[idx]
         k1 = keys_w1[idx]
@@ -163,7 +173,8 @@ def insert(table: HashTable, w0, w1, valid, base_slot=None):
         assigned = assigned + jnp.sum(won.astype(jnp.int32))
         pending = pending & ~finished
         disp = jnp.where(pending, disp + 1, disp)
-        return keys_w0, keys_w1, slot_arr, assigned, max_psl, disp, out, pending
+        return (keys_w0, keys_w1, slot_arr, assigned, max_psl, disp, out,
+                rounds + 1, pending)
 
     init = (
         table.keys_w0,
@@ -173,10 +184,11 @@ def insert(table: HashTable, w0, w1, valid, base_slot=None):
         table.max_psl,
         jnp.zeros((k,), jnp.int32),
         jnp.full((k,), -1, jnp.int32),
+        jnp.int32(0),
         valid,
     )
-    keys_w0, keys_w1, slot_arr, assigned, max_psl, _, out, pending = (
-        jax.lax.fori_loop(0, MAX_INSERT_ROUNDS, body, init)
+    keys_w0, keys_w1, slot_arr, assigned, max_psl, _, out, _, pending = (
+        jax.lax.while_loop(cond, body, init)
     )
     new_table = HashTable(
         keys_w0=keys_w0,
@@ -198,9 +210,13 @@ def remove(table: HashTable, w0, w1, valid):
     mask = jnp.uint32(cap - 1)
     h = hash_words(w0, w1)
 
-    def body(p, state):
-        keys_w1, slot_arr, removed, pending = state
-        idx = ((h + jnp.uint32(p)) & mask).astype(jnp.int32)
+    def cond(state):
+        *_rest, p, pending = state
+        return jnp.logical_and(p < MAX_INSERT_ROUNDS, jnp.any(pending))
+
+    def body(state):
+        keys_w1, slot_arr, removed, p, pending = state
+        idx = ((h + p.astype(jnp.uint32)) & mask).astype(jnp.int32)
         k0 = table.keys_w0[idx]
         k1 = keys_w1[idx]
         hit = pending & (k0 == w0) & (k1 == w1)
@@ -210,10 +226,11 @@ def remove(table: HashTable, w0, w1, valid):
         removed = removed + jnp.sum(hit.astype(jnp.int32))
         empty = k1 == grid.EMPTY_W1
         pending = pending & ~hit & ~empty
-        return keys_w1, slot_arr, removed, pending
+        return keys_w1, slot_arr, removed, p + 1, pending
 
-    keys_w1, slot_arr, removed, _ = jax.lax.fori_loop(
-        0, MAX_INSERT_ROUNDS, body, (table.keys_w1, table.slot, jnp.int32(0), valid)
+    keys_w1, slot_arr, removed, _, _ = jax.lax.while_loop(
+        cond, body,
+        (table.keys_w1, table.slot, jnp.int32(0), jnp.int32(0), valid),
     )
     return (
         dataclasses.replace(table, keys_w1=keys_w1, slot=slot_arr),
@@ -250,15 +267,19 @@ def _locate(table: HashTable, w0, w1, valid):
     out = jnp.zeros(w0.shape, jnp.int32)
     done = ~valid
 
-    def body(p, state):
-        out, done = state
-        idx = ((h + jnp.uint32(p)) & mask).astype(jnp.int32)
+    def cond(state):
+        p, _, done = state
+        return jnp.logical_and(p < MAX_INSERT_ROUNDS, ~jnp.all(done))
+
+    def body(state):
+        p, out, done = state
+        idx = ((h + p.astype(jnp.uint32)) & mask).astype(jnp.int32)
         hit = (table.keys_w0[idx] == w0) & (table.keys_w1[idx] == w1) & ~done
         out = jnp.where(hit, idx, out)
         done = done | hit
-        return out, done
+        return p + 1, out, done
 
-    out, _ = jax.lax.fori_loop(0, MAX_INSERT_ROUNDS, body, (out, done))
+    _, out, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), out, done))
     return out
 
 

@@ -149,6 +149,36 @@ def build_spherical_range_image(points_C, colors, resolution,
     )
 
 
+def build_spherical_range_image_organized(points_C, colors, resolution,
+                                          fov_up_deg=25.0,
+                                          fov_down_deg=-25.0):
+    """Scatter-free binning for RASTER-ORDERED spinning-lidar scans.
+
+    ``points_C`` f32[H*W, 3] with point v*W + u the (single) return of
+    beam row v (elevation bin v) at azimuth bin u — the native packet
+    order of spinning lidars (ring-major range images, what a KITTI-style
+    velodyne driver emits) and of ``sim.world.
+    spherical_pointcloud_from_transform``. No-return points must be 0.
+    The unstructured builder costs ~3 random memory ops per point
+    (scatter-min + winner gather + color scatter, ~5 ms/scan at 131k
+    points on TPU); ordered scans need only a norm + reshape."""
+    w, h = resolution
+    el0 = np.deg2rad(fov_down_deg)
+    el1 = np.deg2rad(fov_up_deg)
+    r = jnp.linalg.norm(points_C, axis=-1)
+    valid = r > 1e-3
+    rng = jnp.where(valid, r, jnp.inf).reshape(h, w)
+    color = jnp.where(valid[:, None], colors, 0.0).reshape(h, w, 3)
+    return RangeImage(
+        rng=rng,
+        color=color,
+        params=jnp.asarray(
+            [-np.pi, el0, 2 * np.pi / w, (el1 - el0) / h], jnp.float32
+        ),
+        kind="spherical",
+    )
+
+
 def build_pinhole_range_image_organized(points_C, colors, pool: int,
                                         intrinsics):
     """Bin an ORGANIZED (raster-ordered) cloud by exact min-pooling.
@@ -1017,6 +1047,7 @@ def integrate_range_image(layer, T_G_C, img: RangeImage,
     static_argnames=(
         "cfg", "resolution", "fov_h_rad", "kind", "use_color",
         "max_visible_blocks", "max_mixed_slabs", "max_free_slabs",
+        "fov_up_deg", "fov_down_deg",
     ),
     donate_argnums=(0,),
 )
@@ -1027,17 +1058,24 @@ def integrate_pointcloud_projective(
     max_visible_blocks: int = 512,
     max_mixed_slabs: int | None = None,
     max_free_slabs: int | None = None,
+    fov_up_deg: float = 25.0, fov_down_deg: float = -25.0,
 ):
     """Point-cloud front end: bin into a range image, then integrate.
 
     Fully jitted (binning + update in one program — eager binning costs
     ~100 ms of per-op dispatch through the remote-TPU path).
+    ``kind``: "pinhole", "spherical" (unordered cloud, scatter binning)
+    or "spherical_organized" (raster-ordered lidar scan, scatter-free).
     """
     if kind == "pinhole":
         img = build_pinhole_range_image(points_C, colors, resolution,
                                         fov_h_rad)
+    elif kind == "spherical_organized":
+        img = build_spherical_range_image_organized(
+            points_C, colors, resolution, fov_up_deg, fov_down_deg)
     else:
-        img = build_spherical_range_image(points_C, colors, resolution)
+        img = build_spherical_range_image(points_C, colors, resolution,
+                                          fov_up_deg, fov_down_deg)
     R, t = T_G_C if isinstance(T_G_C, tuple) else (T_G_C[:3, :3], T_G_C[:3, 3])
     return _integrate_image_jit(
         layer, R, t, img.rng, img.color, img.params, cfg, use_color,
@@ -1232,6 +1270,7 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
     static_argnames=(
         "cfg", "resolution", "fov_h_rad", "kind", "use_color",
         "max_visible_blocks", "max_mixed_slabs", "max_free_slabs",
+        "fov_up_deg", "fov_down_deg",
     ),
     donate_argnums=(0,),
 )
@@ -1242,20 +1281,27 @@ def integrate_pointcloud_projective_batch(
     max_visible_blocks: int = 512,
     max_mixed_slabs: int | None = None,
     max_free_slabs: int | None = None,
+    fov_up_deg: float = 25.0, fov_down_deg: float = -25.0,
 ):
     """Integrate K posed scans in one dispatch.
 
     Rs f32[K,3,3], ts f32[K,3], points_C f32[K,N,3], colors f32[K,N,3].
     Exactly equivalent to K sequential projective calls except that the
-    max_weight clamp applies per batch. Returns (layer, overflowed).
+    max_weight clamp applies per batch. ``kind`` as in
+    ``integrate_pointcloud_projective``. Returns (layer, overflowed).
     """
     if kind == "pinhole":
         def make_img(pts, cols):
             return build_pinhole_range_image(pts, cols, resolution,
                                              fov_h_rad)
+    elif kind == "spherical_organized":
+        def make_img(pts, cols):
+            return build_spherical_range_image_organized(
+                pts, cols, resolution, fov_up_deg, fov_down_deg)
     else:
         def make_img(pts, cols):
-            return build_spherical_range_image(pts, cols, resolution)
+            return build_spherical_range_image(pts, cols, resolution,
+                                               fov_up_deg, fov_down_deg)
     return _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
                             max_visible_blocks, max_mixed_slabs, make_img,
                             max_free_slabs=max_free_slabs)
