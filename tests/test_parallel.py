@@ -104,6 +104,45 @@ det = evaluation.evaluate_layers_rmse(to_host(esdf1), to_host(esdf8))
 assert det.rmse < 1e-2, f"sharded esdf rmse {det}"
 print("block-sharded esdf OK", det.rmse, "iters", int(iters))
 
+# Scan-sharded projective integration == unsharded batch (up to float
+# summation order): the multi-chip DP mode of the TPU fast path.
+from voxblox_tpu.ops import projective as P
+res = (32, 24)
+K = 8
+fx = res[0] / (2.0 * np.tan(np.deg2rad(60.0) / 2.0))
+intr = (fx, fx, res[0] / 2.0, res[1] / 2.0)
+Rs_l, ts_l, pts_l, cols_l = [], [], [], []
+for i in range(K):
+    a = 2 * np.pi * i / K
+    pos = jnp.asarray([3.0 * np.cos(a), 3.0 * np.sin(a), 2.0], jnp.float32)
+    view = jnp.asarray([-np.cos(a), -np.sin(a), 0.0], jnp.float32)
+    Ri = sw.rotation_from_two_vectors(jnp.asarray([0.0, 0.0, 1.0]), view)
+    p, c, v_, _ = sw.organized_pointcloud_from_transform(
+        objs, (Ri, pos), res, np.deg2rad(60.0), 8.0
+    )
+    Rs_l.append(Ri); ts_l.append(pos); pts_l.append(p); cols_l.append(c)
+Rs_s, ts_s, pts_s, cols_s = map(jnp.stack, (Rs_l, ts_l, pts_l, cols_l))
+pl1 = vlayer.make_layer("tsdf", 0.1, vps=16, max_blocks=1024)
+pl1, povf1 = P.integrate_organized_projective_batch(
+    pl1, Rs_s, ts_s, pts_s, cols_s, cfg, intrinsics=intr, pool=2,
+    max_visible_blocks=256,
+)
+pl8 = vlayer.make_layer("tsdf", 0.1, vps=16, max_blocks=1024)
+pl8, povf8 = sharding.integrate_projective_batch_sharded(
+    mesh, pl8, Rs_s, ts_s, pts_s, cols_s, cfg, kind="pinhole_organized",
+    intrinsics=intr, pool=2, max_visible_blocks=256,
+)
+assert not bool(povf1) and not bool(povf8)
+# Identical allocation order (phase 1 replays the same sequence).
+assert np.array_equal(np.asarray(pl1.block_ijk), np.asarray(pl8.block_ijk))
+det = evaluation.evaluate_layers_rmse(to_host(pl1), to_host(pl8))
+assert det.num_evaluated_voxels > 5000
+assert det.rmse < 1e-5, det
+wd = np.abs(np.asarray(pl1.channels["weight"])
+            - np.asarray(pl8.channels["weight"])).max()
+assert wd < 1e-3, wd
+print("scan-sharded projective OK", det.rmse, wd)
+
 # Ray-sharded differentiable render gradient == single-device gradient.
 n_rays = 64
 ang = np.linspace(-0.2, 0.2, n_rays).astype(np.float32)

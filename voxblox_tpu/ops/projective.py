@@ -730,7 +730,8 @@ def _feat_image(img: RangeImage, trunc):
 
 def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
                 max_visible_blocks: int, max_mixed_slabs: int,
-                feat=None, hiz=None, max_free_slabs=None):
+                feat=None, hiz=None, max_free_slabs=None,
+                allocate: bool = True):
     """Allocate + classify + compute one scan's weighted-update deltas.
 
     Returns (layer, rows, row_ok, d_w, d_wd, d_cw, d_wc, overflowed) with
@@ -745,6 +746,11 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     ``_hiz_tables`` products for this image (the batched path builds them
     for all K scans at once — K small 2D passes inside a scan body cost
     ~2 ms/scan of launch overhead; one [K, H, W] pass is ~4x cheaper).
+
+    ``allocate=False`` skips block allocation (lookup-only): the caller
+    must have allocated every block this scan can update beforehand (the
+    scan-sharded path allocates all K scans replicated, then shards the
+    accumulate phase, keeping the hash table identical on every device).
     """
     if hiz is None:
         hiz = _hiz_tables(_pix_eff(img, cfg))
@@ -758,8 +764,9 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     c_ok = cidx < n_cand
     cand = cand[jnp.where(c_ok, cidx, 0)]
     overflowed = jnp.sum(ok) > max_cand
-    layer, alloc_ovf = vlayer.allocate_blocks(layer, cand, c_ok)
-    overflowed |= alloc_ovf
+    if allocate:
+        layer, alloc_ovf = vlayer.allocate_blocks(layer, cand, c_ok)
+        overflowed |= alloc_ovf
 
     slots = vlayer.lookup_blocks(layer, cand)
     sel = jnp.where(c_ok, slots, -1)
@@ -1123,24 +1130,23 @@ def integrate_organized_projective(
 # processing; the single-scan path remains for latency-critical use.
 
 
-def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
-                     max_visible_blocks, max_mixed_slabs, make_img,
-                     max_free_slabs=None):
-    """Shared K-scan batch core; make_img(pts_i, cols_i) -> RangeImage."""
+def _batch_acc_init(layer):
+    """Zero accumulators for a K-scan batch + the layout choice.
+
+    Accumulator layout: cube-shaped carries match the stored channel
+    layout (no relayout copies in the final fold — measured +1.4
+    ms/scan for a flat fold at mb=4096), but XLA materializes them
+    TILE-PADDED inside the scan (16 -> 128 lanes, 8x), which OOMs HBM
+    for large pools. Large pools therefore switch to FLAT accumulators
+    ([mb, v^3] / [mb, 3*v^3]) and pay the one-time fold relayout.
+    Color accumulators are PLANAR (one per rgb channel): trailing-3
+    arrays tile 3 -> 128 lanes (42x padded memory + relayout copies).
+    """
     mb = layer.max_blocks
     v = layer.vps
     vpb = layer.voxels_per_block
-    geom = dataclasses.replace(layer, channels={})
-    # Accumulator layout: cube-shaped carries match the stored channel
-    # layout (no relayout copies in the final fold — measured +1.4
-    # ms/scan for a flat fold at mb=4096), but XLA materializes them
-    # TILE-PADDED inside the scan (16 -> 128 lanes, 8x), which OOMs HBM
-    # for large pools. Large pools therefore switch to FLAT accumulators
-    # ([mb, v^3] / [mb, 3*v^3]) and pay the one-time fold relayout.
     flat_acc = mb * vpb * 4 * 6 * 8 > 8 << 30  # padded cube accs > 8 GiB
     shp = (mb, vpb) if flat_acc else (mb, v, v, v)
-    # Color accumulators are PLANAR (one per rgb channel): trailing-3
-    # arrays tile 3 -> 128 lanes (42x padded memory + relayout copies).
     acc = (
         jnp.zeros(shp, jnp.float32),
         jnp.zeros(shp, jnp.float32),
@@ -1148,13 +1154,39 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
         (jnp.zeros(shp, jnp.float32), jnp.zeros(shp, jnp.float32),
          jnp.zeros(shp, jnp.float32)),
     )
+    return acc, flat_acc
 
-    # Build ALL K range images + per-pixel feature tables + HiZ pyramids
-    # up front as single [K, ...] batched passes. Doing this inside the
-    # scan body issues K copies of dozens of small 2D ops (binning,
-    # 3x3 windows, ~9 pyramid levels) whose launch overhead dominates
-    # their work (~2 ms/scan measured); batched, the same math is one
-    # deep pass over [K, H, W].
+
+def _batch_acc_add(acc, rows, row_ok, d_w, d_wd, d_cw, d_wc3, use_color,
+                   flat_acc, mb, v):
+    """Scatter one scan's visible-row deltas into the batch accumulators."""
+    write_rows = jnp.where(row_ok, rows, mb)
+    a_w, a_wd, a_cw, a_wc3 = acc
+    if not flat_acc:
+        b = d_w.shape[0]
+        d_w = d_w.reshape(b, v, v, v)
+        d_wd = d_wd.reshape(b, v, v, v)
+        d_cw = d_cw.reshape(b, v, v, v)
+        d_wc3 = tuple(a.reshape(b, v, v, v) for a in d_wc3)
+    a_w = a_w.at[write_rows].add(d_w, mode="drop", unique_indices=True)
+    a_wd = a_wd.at[write_rows].add(d_wd, mode="drop", unique_indices=True)
+    if use_color:
+        a_cw = a_cw.at[write_rows].add(d_cw, mode="drop",
+                                       unique_indices=True)
+        a_wc3 = tuple(
+            a.at[write_rows].add(d, mode="drop", unique_indices=True)
+            for a, d in zip(a_wc3, d_wc3)
+        )
+    return (a_w, a_wd, a_cw, a_wc3)
+
+
+def _build_batch_images(points_C, colors, cfg, make_img):
+    """Build ALL K range images + per-pixel feature tables + HiZ pyramids
+    up front as single [K, ...] batched passes. Doing this inside a scan
+    body issues K copies of dozens of small 2D ops (binning, 3x3 windows,
+    ~9 pyramid levels) whose launch overhead dominates their work
+    (~2 ms/scan measured); batched, the same math is one deep pass over
+    [K, H, W]."""
     kind = make_img(points_C[0], colors[0]).kind
     trunc = cfg.default_truncation_distance
 
@@ -1171,40 +1203,17 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
     _, hiz_meta, hiz_max_lvls = _hiz_tables(
         jnp.zeros(rngs.shape[1:], jnp.float32)
     )
+    return (kind, rngs, colors_i, params_i, feats, hiz_flats,
+            hiz_meta, hiz_max_lvls)
 
-    def body(carry, scan):
-        geom, acc, ovf = carry
-        R, t, rng_i, col_i, par_i, feat_i, hflat_i = scan
-        img = RangeImage(rng=rng_i, color=col_i, params=par_i, kind=kind)
-        hiz = (hflat_i, hiz_meta, hiz_max_lvls)
-        geom, rows, row_ok, d_w, d_wd, d_cw, d_wc3, o = _scan_terms(
-            geom, R, t, img, cfg, use_color, max_visible_blocks,
-            max_mixed_slabs, feat=feat_i, hiz=hiz,
-            max_free_slabs=max_free_slabs,
-        )
-        write_rows = jnp.where(row_ok, rows, mb)
-        a_w, a_wd, a_cw, a_wc3 = acc
-        if not flat_acc:
-            b = d_w.shape[0]
-            d_w = d_w.reshape(b, v, v, v)
-            d_wd = d_wd.reshape(b, v, v, v)
-            d_cw = d_cw.reshape(b, v, v, v)
-            d_wc3 = tuple(a.reshape(b, v, v, v) for a in d_wc3)
-        a_w = a_w.at[write_rows].add(d_w, mode="drop", unique_indices=True)
-        a_wd = a_wd.at[write_rows].add(d_wd, mode="drop", unique_indices=True)
-        if use_color:
-            a_cw = a_cw.at[write_rows].add(d_cw, mode="drop",
-                                           unique_indices=True)
-            a_wc3 = tuple(
-                a.at[write_rows].add(d, mode="drop", unique_indices=True)
-                for a, d in zip(a_wc3, d_wc3)
-            )
-        return (geom, (a_w, a_wd, a_cw, a_wc3), ovf | o), None
 
-    (geom, acc, overflowed), _ = jax.lax.scan(
-        body, (geom, acc, jnp.asarray(False)),
-        (Rs, ts, rngs, colors_i, params_i, feats, hiz_flats),
-    )
+def _fold_batch_acc(layer, geom, acc, cfg, use_color, flat_acc):
+    """Fold batch accumulators into the layer's running averages
+    (updateTsdfVoxel, tsdf_integrator.cc:186-208, telescoped over the
+    batch) and adopt the batch's allocation metadata from ``geom``."""
+    mb = layer.max_blocks
+    vpb = layer.voxels_per_block
+    trunc = cfg.default_truncation_distance
     d_w, d_wd, d_cw, d_wc3 = acc
     ch = dict(layer.channels)
 
@@ -1250,7 +1259,7 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
         ch["color"] = jnp.where((d_cw > 0)[..., None], new_c, old_c)
     row_touched = jnp.any(touched.reshape(mb, vpb), axis=-1)
 
-    layer = dataclasses.replace(
+    return dataclasses.replace(
         layer,
         channels=ch,
         table=geom.table,
@@ -1262,6 +1271,40 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
             geom.block_flags,
         ).astype(jnp.uint8),
     )
+
+
+def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
+                     max_visible_blocks, max_mixed_slabs, make_img,
+                     max_free_slabs=None):
+    """Shared K-scan batch core; make_img(pts_i, cols_i) -> RangeImage."""
+    mb = layer.max_blocks
+    v = layer.vps
+    geom = dataclasses.replace(layer, channels={})
+    acc, flat_acc = _batch_acc_init(layer)
+    (kind, rngs, colors_i, params_i, feats, hiz_flats,
+     hiz_meta, hiz_max_lvls) = _build_batch_images(
+        points_C, colors, cfg, make_img
+    )
+
+    def body(carry, scan):
+        geom, acc, ovf = carry
+        R, t, rng_i, col_i, par_i, feat_i, hflat_i = scan
+        img = RangeImage(rng=rng_i, color=col_i, params=par_i, kind=kind)
+        hiz = (hflat_i, hiz_meta, hiz_max_lvls)
+        geom, rows, row_ok, d_w, d_wd, d_cw, d_wc3, o = _scan_terms(
+            geom, R, t, img, cfg, use_color, max_visible_blocks,
+            max_mixed_slabs, feat=feat_i, hiz=hiz,
+            max_free_slabs=max_free_slabs,
+        )
+        acc = _batch_acc_add(acc, rows, row_ok, d_w, d_wd, d_cw, d_wc3,
+                             use_color, flat_acc, mb, v)
+        return (geom, acc, ovf | o), None
+
+    (geom, acc, overflowed), _ = jax.lax.scan(
+        body, (geom, acc, jnp.asarray(False)),
+        (Rs, ts, rngs, colors_i, params_i, feats, hiz_flats),
+    )
+    layer = _fold_batch_acc(layer, geom, acc, cfg, use_color, flat_acc)
     return layer, overflowed
 
 
