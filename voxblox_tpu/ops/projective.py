@@ -375,9 +375,11 @@ def _hiz_tables(pix_eff):
     tight on sparse (lidar) images.
 
     Returns (flat f32[N,4] of (lo, lo_band, hi, 0) texels over all
-    (a, b) level pairs, int32[A+1, B+1] offsets, int32[A+1] widths,
-    (A, B) max levels). Texel (a, b) covers 2^a x 2^b px; pads are
-    neutral per channel.
+    (a, b) level pairs, int32 meta (offset, width, eff_a, eff_b) per
+    requested pair, (A, B) max levels). Texel (a, b) covers 2^a x 2^b px;
+    pads are neutral per channel. (A planar [3, N] variant with a
+    column-gather query measured ~0.4 ms/scan SLOWER on the orbit bench —
+    row gathers of 4 beat 3 column taps despite the 4 -> 128 lane pad.)
     """
     h, w = pix_eff.shape
     a_max = max(1, int(np.ceil(np.log2(w))))
@@ -688,10 +690,40 @@ def _classify_slabs(layer, safe_rows, row_ok, R, t, img, hiz, cfg):
 # ---------------------------------------------------------------------------
 
 
-def _feat_image(img: RangeImage, trunc):
-    """Packed 8-channel per-pixel features (ONE gather serves all):
+def _pack_f16x2(a, b):
+    """Two f32 arrays -> one f32 carrying their f16 bit pair (lo=a, hi=b)."""
+    au = jax.lax.bitcast_convert_type(
+        a.astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    bu = jax.lax.bitcast_convert_type(
+        b.astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(au | (bu << 16), jnp.float32)
 
-      [range, 3x3-min range, d(range)/du, d(range)/dv, r, g, b, pad]
+
+def _unpack_f16x2(x):
+    """Inverse of _pack_f16x2: f32 bits -> (lo f32, hi f32)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(
+        (u & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
+    )
+    hi = jax.lax.bitcast_convert_type(
+        (u >> 16).astype(jnp.uint16), jnp.float16
+    )
+    return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+
+def _feat_image(img: RangeImage, trunc):
+    """Packed 5-channel per-pixel features (ONE gather serves all):
+
+      [range, 3x3-min range, (du|dv f16x2), (r|g f16x2), (b|0 f16x2)]
+
+    The two range channels stay f32 (accuracy-critical); the image
+    gradients (clamped to |g| < trunc) and colors (u8-valued sensor data)
+    are exact or sub-quantization in f16, and packing them pairwise cuts
+    the per-voxel gather from 8 to 5 elements — the mixed-slab gather is
+    the single largest op of the integrate program (measured 0.47 ms/scan
+    at 2048 slabs).
 
     - the min-pooled channel drives the free-space (carving) decision:
       near silhouette edges the nearest pixel may look past the object
@@ -718,14 +750,20 @@ def _feat_image(img: RangeImage, trunc):
             jnp.where(ok_a, a, jnp.where(ok_b, b, 0.0)),
         )
 
+    # PLANAR [5, H*W] layout: the per-voxel gather then produces
+    # [5, S, 128] — clean (8,128)-tiled output and operand. The previous
+    # [H*W, 8] rows padded 8 -> 128 lanes on BOTH the operand and the
+    # [S, 128, 8] gather output, and XLA inserted a 0.18 ms/scan relayout
+    # copy of the output (measured on the orbit trace).
     return jnp.stack(
         [
-            img.rng, rng_min, clamp_grad(d_up, d_um), clamp_grad(d_vp, d_vm),
-            img.color[..., 0], img.color[..., 1], img.color[..., 2],
-            jnp.zeros_like(img.rng),
+            img.rng, rng_min,
+            _pack_f16x2(clamp_grad(d_up, d_um), clamp_grad(d_vp, d_vm)),
+            _pack_f16x2(img.color[..., 0], img.color[..., 1]),
+            _pack_f16x2(img.color[..., 2], jnp.zeros_like(img.rng)),
         ],
-        axis=-1,
-    ).reshape(-1, 8)
+        axis=0,
+    ).reshape(5, -1)
 
 
 def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
@@ -734,12 +772,14 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
                 allocate: bool = True):
     """Allocate + classify + compute one scan's weighted-update deltas.
 
-    Returns (layer, rows, row_ok, d_w, d_wd, d_cw, d_wc, overflowed) with
-    deltas over the compacted visible rows [B, v, v, v(, 3)]:
-      d_w  = sum of update weights        d_wd = sum of weight * sdf
-      d_cw = sum of color weights         d_wc = sum of cweight * rgb
-    The caller folds them into the running average (updateTsdfVoxel,
-    tsdf_integrator.cc:186-208): new_d = (old_d*old_w + d_wd)/(old_w+d_w).
+    Returns (layer, rows, row_ok, d6, overflowed): d6 is the
+    lane-concatenated delta buffer [B, n_slabs, n_ch*slab_vox] over the
+    compacted visible rows, whose per-channel planes (_delta_plane) are
+      0: sum of update weights            1: sum of weight * sdf
+      2: sum of color weights             3-5: sum of cweight * r/g/b
+    (n_ch = 2 without color). The caller folds them into the running
+    average (updateTsdfVoxel, tsdf_integrator.cc:186-208):
+    new_d = (old_d*old_w + d_wd)/(old_w+d_w).
     Works on channel-less (geometry-only) layers too.
 
     ``feat``/``hiz``: optionally precomputed ``_feat_image`` /
@@ -829,22 +869,19 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
         return p_C, u, vv_, r_vox, ui, vi, inb
 
     n_all = B * n_slabs
-    # Per-scan deltas live in the compact VISIBLE-set slab domain
-    # [B * n_slabs, slab_vox]: small enough (~5 MB) that the free/mixed
-    # scatters stay local, and the caller's pool accumulation moves whole
-    # visible rows contiguously. (Scattering contributions straight into
-    # pool-slab-viewed accumulators measured ~30% slower: same row count
-    # but spread over the 500+ MB pool extent.)
-    d_w = jnp.zeros((n_all, slab_vox), jnp.float32)
-    d_wd = jnp.zeros((n_all, slab_vox), jnp.float32)
-    d_cw = jnp.zeros((n_all, slab_vox), jnp.float32)
-    # Color deltas are PLANAR (three 2D arrays): any [*, slab_vox, 3]
-    # array tiles its trailing (128, 3) dims to (128, 128) on TPU — 42x
-    # padded memory, and its scatters/reshapes relayout-copy at GB scale
-    # (measured ~25 ms/scan on lidar-sized visible sets).
-    d_wc3 = tuple(
-        jnp.zeros((n_all, slab_vox), jnp.float32) for _ in range(3)
-    )
+    # Per-scan deltas live in the compact VISIBLE-set slab domain as ONE
+    # lane-concatenated buffer [B * n_slabs, n_ch * slab_vox]: channel c
+    # occupies lanes [c*slab_vox, (c+1)*slab_vox) of each slab row
+    # (channels: w, w*sdf[, cw, cw*r, cw*g, cw*b]). One buffer means ONE
+    # scatter per slab set and ONE batch-accumulator carry instead of
+    # six, with no tile padding anywhere (slab_vox = 128 lanes per
+    # plane). Color planes stay separate lanes — never a trailing-3 dim,
+    # which tiles 3 -> 128 (42x padded memory + relayout copies).
+    # (Scattering contributions straight into pool-slab-viewed
+    # accumulators measured ~30% slower: same row count but spread over
+    # the 500+ MB pool extent.)
+    n_ch = 6 if use_color else 2
+    d6 = jnp.zeros((n_all, n_ch * slab_vox), jnp.float32)
 
     # ---- FREE slabs: carving update, no image access ----
     if cfg.voxel_carving_enabled:
@@ -866,9 +903,12 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
                 inb_f, 1.0 / jnp.maximum(zf * zf, 1e-6)[:, None], 0.0
             )
         waddr_f = jnp.where(free_ok, free_ids, n_all)
-        d_w = d_w.at[waddr_f].add(wf, mode="drop", unique_indices=True)
-        d_wd = d_wd.at[waddr_f].add(trunc * wf, mode="drop",
-                                    unique_indices=True)
+        vals_f = jnp.concatenate(
+            [wf, trunc * wf]
+            + [jnp.zeros_like(wf)] * (n_ch - 2),
+            -1,
+        )
+        d6 = d6.at[waddr_f].add(vals_f, mode="drop", unique_indices=True)
 
     # ---- MIXED slabs: compact, gather, update ----
     mixed_flat = mixed_s.reshape(-1)
@@ -885,15 +925,24 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
 
     if feat is None:
         feat = _feat_image(img, trunc)
-    g8 = feat.at[flat_pix].get(mode="fill", fill_value=jnp.inf)
-    r_nearest = g8[..., 0]
-    r_min = g8[..., 1]
-    du = jnp.where(jnp.isfinite(g8[..., 2]), g8[..., 2], 0.0)
-    dv = jnp.where(jnp.isfinite(g8[..., 3]), g8[..., 3], 0.0)
-    pix_color3 = tuple(
-        jnp.where(jnp.isfinite(g8[..., 4 + c]), g8[..., 4 + c], 0.0)
-        for c in range(3)
-    )
+    # ONE row-gather serves all 5 channels. Measured alternatives: five
+    # single-channel gathers ([S,128] clean outputs) run 4x SLOWER — the
+    # TPU gather is index-rate-bound (~560M idx/s), not write-bound, so
+    # fewer indices x wider rows wins even though the [S*128, 5] output
+    # pads its lane dim 5 -> 128 and pays a planarizing copy.
+    g5 = jnp.take(feat, flat_pix, axis=1, mode="fill",
+                  fill_value=jnp.inf)  # [5, S, 128]
+    r_nearest = g5[0]
+    r_min = g5[1]
+
+    def clean(x):  # out-of-image fill bits unpack to (0, inf): zero them
+        return jnp.where(jnp.isfinite(x), x, 0.0)
+
+    du_p, dv_p = _unpack_f16x2(g5[2])
+    du, dv = clean(du_p), clean(dv_p)
+    c0_p, c1_p = _unpack_f16x2(g5[3])
+    c2_p, _ = _unpack_f16x2(g5[4])
+    pix_color3 = (clean(c0_p), clean(c1_p), clean(c2_p))
     r_img = r_nearest + du * (u_m - ui_m) + dv * (v_m - vi_m)
 
     def effective(r):
@@ -943,29 +992,23 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     w0 = jnp.where(upd, w0, 0.0)
     sdf_c = jnp.clip(sdf, -trunc, trunc)
 
-    d_w = d_w.at[slab_ids].add(w0, mode="drop", unique_indices=True)
-    d_wd = d_wd.at[slab_ids].add(w0 * sdf_c, mode="drop",
-                                 unique_indices=True)
+    planes = [w0, w0 * sdf_c]
     if use_color:
         cw = jnp.where((w0 > 0) & (jnp.abs(sdf) < trunc) & has_surface,
                        w0, 0.0)
-        d_cw = d_cw.at[slab_ids].add(cw, mode="drop", unique_indices=True)
-        d_wc3 = tuple(
-            a.at[slab_ids].add(cw * pc, mode="drop", unique_indices=True)
-            for a, pc in zip(d_wc3, pix_color3)
-        )
+        planes += [cw] + [cw * pc for pc in pix_color3]
+    d6 = d6.at[slab_ids].add(
+        jnp.concatenate(planes, -1), mode="drop", unique_indices=True
+    )
 
-    # Deltas return FLAT per-row [B, v^3] (color planar, one per rgb
-    # channel). TPU tiles the last two dims to (8, 128); cube-shaped
-    # [B, v, v, v] intermediates pad 16 -> 128 lanes (8x memory AND
-    # scatter bandwidth, OOMs large pools), and trailing-3 color arrays
-    # pad 42x. Flat rows are multiples of 128 — no padding.
-    vpb = layer.voxels_per_block
+    # Deltas return in the lane-concatenated slab domain
+    # [B, n_slabs, n_ch*slab_vox] — flat multiples of 128 lanes, no tile
+    # padding (cube-shaped [B, v, v, v] intermediates pad 16 -> 128
+    # lanes: 8x memory AND scatter bandwidth). Use _delta_plane to pull
+    # per-channel [.., vpb] planes.
     return (
         layer, rows, row_ok,
-        d_w.reshape(B, vpb), d_wd.reshape(B, vpb),
-        d_cw.reshape(B, vpb),
-        tuple(a.reshape(B, vpb) for a in d_wc3),
+        d6.reshape(B, n_slabs, n_ch * slab_vox),
         overflowed,
     )
 
@@ -983,7 +1026,7 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
                          max_mixed_slabs: int,
                          max_free_slabs: int | None = None):
     img = RangeImage(rng=rng_img, color=color_img, params=params, kind=kind)
-    (layer, rows, row_ok, d_w, d_wd, d_cw, d_wc3, overflowed) = _scan_terms(
+    (layer, rows, row_ok, d6, overflowed) = _scan_terms(
         layer, R, t, img, cfg, use_color, max_visible_blocks,
         max_mixed_slabs, max_free_slabs=max_free_slabs,
     )
@@ -991,6 +1034,10 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
     safe_rows = jnp.where(row_ok, rows, 0)
     mb = layer.max_blocks
     vpb = layer.voxels_per_block
+    _, _, _, slab_vox = _slab_shape(layer.vps)
+    B = d6.shape[0]
+    d_w = _delta_plane(d6, 0, slab_vox).reshape(B, vpb)
+    d_wd = _delta_plane(d6, 1, slab_vox).reshape(B, vpb)
 
     # Fused running-average update on the visible rows, all in flat 2D
     # (updateTsdfVoxel, tsdf_integrator.cc:186-208). Color math runs per
@@ -1017,12 +1064,14 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
     ).reshape(ch["weight"].shape)
     if use_color:
         old_cf = layer.channels["color"].reshape(mb, vpb * 3)[safe_rows]
+        d_cw = _delta_plane(d6, 2, slab_vox).reshape(B, vpb)
         denom_c = jnp.maximum(old_w + d_cw, grid.FLOAT_EPS)
         ctouched = d_cw > 0
         out_c = old_cf
         for c in range(3):
             oc = old_cf[:, c::3]
-            nc = (oc * old_w + d_wc3[c]) / denom_c
+            d_wc = _delta_plane(d6, 3 + c, slab_vox).reshape(B, vpb)
+            nc = (oc * old_w + d_wc) / denom_c
             out_c = out_c.at[:, c::3].set(jnp.where(ctouched, nc, oc))
         ch["color"] = ch["color"].reshape(mb, vpb * 3).at[write_rows].set(
             out_c, mode="drop", unique_indices=True
@@ -1130,54 +1179,35 @@ def integrate_organized_projective(
 # processing; the single-scan path remains for latency-critical use.
 
 
-def _batch_acc_init(layer):
-    """Zero accumulators for a K-scan batch + the layout choice.
+def _delta_plane(d6, c, slab_vox):
+    """Channel-c plane of a lane-concatenated delta/accumulator buffer
+    [.., n_slabs, n_ch*slab_vox] -> [.., n_slabs*slab_vox] (= [.., vpb];
+    slab order is (z, y-half) major, matching the flat voxel order)."""
+    plane = d6[..., c * slab_vox:(c + 1) * slab_vox]
+    return plane.reshape(plane.shape[:-2] + (-1,))
 
-    Accumulator layout: cube-shaped carries match the stored channel
-    layout (no relayout copies in the final fold — measured +1.4
-    ms/scan for a flat fold at mb=4096), but XLA materializes them
-    TILE-PADDED inside the scan (16 -> 128 lanes, 8x), which OOMs HBM
-    for large pools. Large pools therefore switch to FLAT accumulators
-    ([mb, v^3] / [mb, 3*v^3]) and pay the one-time fold relayout.
-    Color accumulators are PLANAR (one per rgb channel): trailing-3
-    arrays tile 3 -> 128 lanes (42x padded memory + relayout copies).
+
+def _batch_acc_init(layer, use_color: bool):
+    """Zero accumulator for a K-scan batch: ONE lane-concatenated buffer
+    [mb, n_slabs, n_ch*slab_vox] (see _scan_terms).
+
+    lax.scan normalizes its carries to the default row-major layout, and
+    a cube-shaped [mb, 16, 16, 16] carry tile-pads 16 -> 128 lanes (8x) —
+    the orbit-trace profile showed the per-scan delta scatter-adds, the
+    zero-inits, and {3,2,1,0} -> {0,3,2,1} relayout copies paying that 8x
+    (~1.5 of 3.9 ms/scan). The lane-concatenated carry has no padding
+    (n_ch*128 lanes) and turns six scatter-adds + six carries into one.
     """
-    mb = layer.max_blocks
-    v = layer.vps
-    vpb = layer.voxels_per_block
-    flat_acc = mb * vpb * 4 * 6 * 8 > 8 << 30  # padded cube accs > 8 GiB
-    shp = (mb, vpb) if flat_acc else (mb, v, v, v)
-    acc = (
-        jnp.zeros(shp, jnp.float32),
-        jnp.zeros(shp, jnp.float32),
-        jnp.zeros(shp, jnp.float32),
-        (jnp.zeros(shp, jnp.float32), jnp.zeros(shp, jnp.float32),
-         jnp.zeros(shp, jnp.float32)),
-    )
-    return acc, flat_acc
+    ys, n_yh, n_slabs, slab_vox = _slab_shape(layer.vps)
+    n_ch = 6 if use_color else 2
+    return jnp.zeros((layer.max_blocks, n_slabs, n_ch * slab_vox),
+                     jnp.float32)
 
 
-def _batch_acc_add(acc, rows, row_ok, d_w, d_wd, d_cw, d_wc3, use_color,
-                   flat_acc, mb, v):
-    """Scatter one scan's visible-row deltas into the batch accumulators."""
+def _batch_acc_add(acc, rows, row_ok, d6, mb):
+    """Scatter one scan's visible-row deltas into the batch accumulator."""
     write_rows = jnp.where(row_ok, rows, mb)
-    a_w, a_wd, a_cw, a_wc3 = acc
-    if not flat_acc:
-        b = d_w.shape[0]
-        d_w = d_w.reshape(b, v, v, v)
-        d_wd = d_wd.reshape(b, v, v, v)
-        d_cw = d_cw.reshape(b, v, v, v)
-        d_wc3 = tuple(a.reshape(b, v, v, v) for a in d_wc3)
-    a_w = a_w.at[write_rows].add(d_w, mode="drop", unique_indices=True)
-    a_wd = a_wd.at[write_rows].add(d_wd, mode="drop", unique_indices=True)
-    if use_color:
-        a_cw = a_cw.at[write_rows].add(d_cw, mode="drop",
-                                       unique_indices=True)
-        a_wc3 = tuple(
-            a.at[write_rows].add(d, mode="drop", unique_indices=True)
-            for a, d in zip(a_wc3, d_wc3)
-        )
-    return (a_w, a_wd, a_cw, a_wc3)
+    return acc.at[write_rows].add(d6, mode="drop", unique_indices=True)
 
 
 def _build_batch_images(points_C, colors, cfg, make_img):
@@ -1207,22 +1237,20 @@ def _build_batch_images(points_C, colors, cfg, make_img):
             hiz_meta, hiz_max_lvls)
 
 
-def _fold_batch_acc(layer, geom, acc, cfg, use_color, flat_acc):
-    """Fold batch accumulators into the layer's running averages
+def _fold_batch_acc(layer, geom, acc, cfg, use_color):
+    """Fold the batch accumulator into the layer's running averages
     (updateTsdfVoxel, tsdf_integrator.cc:186-208, telescoped over the
     batch) and adopt the batch's allocation metadata from ``geom``."""
     mb = layer.max_blocks
     vpb = layer.voxels_per_block
+    _, _, _, slab_vox = _slab_shape(layer.vps)
     trunc = cfg.default_truncation_distance
-    d_w, d_wd, d_cw, d_wc3 = acc
+    d_w = _delta_plane(acc, 0, slab_vox).reshape(mb, vpb)
+    d_wd = _delta_plane(acc, 1, slab_vox).reshape(mb, vpb)
     ch = dict(layer.channels)
 
-    if flat_acc:
-        old_d = layer.channels["tsdf"].reshape(mb, vpb)
-        old_w = layer.channels["weight"].reshape(mb, vpb)
-    else:
-        old_d = layer.channels["tsdf"]
-        old_w = layer.channels["weight"]
+    old_d = layer.channels["tsdf"].reshape(mb, vpb)
+    old_w = layer.channels["weight"].reshape(mb, vpb)
     new_w_raw = old_w + d_w
     touched = d_w > 0.0
     new_d = jnp.clip(
@@ -1234,29 +1262,27 @@ def _fold_batch_acc(layer, geom, acc, cfg, use_color, flat_acc):
     ch["weight"] = jnp.where(
         touched, jnp.minimum(new_w_raw, cfg.max_weight), old_w
     ).reshape(cube)
-    if use_color and flat_acc:
-        # Per-plane color fold through strided lane slices of the
-        # interleaved channel (no trailing-3 intermediates, whose
-        # relayouts dominate at large pools).
+    if use_color:
+        # Per-plane color fold, re-interleaved by stack+reshape (a
+        # strided .at[:, c::3].set scatter needs whole [mb, 3*vpb] rows
+        # in VMEM and overflows it at mb=4096).
+        d_cw = _delta_plane(acc, 2, slab_vox).reshape(mb, vpb)
         old_cf = layer.channels["color"].reshape(mb, vpb * 3)
         denom_c = jnp.maximum(old_w + d_cw, grid.FLOAT_EPS)
         ctouched = d_cw > 0
-        out_c = old_cf
-        for c in range(3):
-            oc = old_cf[:, c::3]
-            nc = (oc * old_w + d_wc3[c]) / denom_c
-            out_c = out_c.at[:, c::3].set(jnp.where(ctouched, nc, oc))
-        ch["color"] = out_c.reshape(layer.channels["color"].shape)
-    elif use_color:
-        # Small pools: interleave the planar accumulators once and fold
-        # in the channel's native layout (measured faster than strided
-        # per-plane passes at this scale).
-        d_wc = jnp.stack(d_wc3, axis=-1)
-        old_c = layer.channels["color"]
-        new_c = (old_c * old_w[..., None] + d_wc) / jnp.maximum(
-            old_w + d_cw, grid.FLOAT_EPS
-        )[..., None]
-        ch["color"] = jnp.where((d_cw > 0)[..., None], new_c, old_c)
+        planes = [
+            jnp.where(
+                ctouched,
+                (old_cf[:, c::3] * old_w
+                 + _delta_plane(acc, 3 + c, slab_vox).reshape(mb, vpb))
+                / denom_c,
+                old_cf[:, c::3],
+            )
+            for c in range(3)
+        ]
+        ch["color"] = jnp.stack(planes, axis=-1).reshape(
+            layer.channels["color"].shape
+        )
     row_touched = jnp.any(touched.reshape(mb, vpb), axis=-1)
 
     return dataclasses.replace(
@@ -1278,9 +1304,8 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
                      max_free_slabs=None):
     """Shared K-scan batch core; make_img(pts_i, cols_i) -> RangeImage."""
     mb = layer.max_blocks
-    v = layer.vps
     geom = dataclasses.replace(layer, channels={})
-    acc, flat_acc = _batch_acc_init(layer)
+    acc = _batch_acc_init(layer, use_color)
     (kind, rngs, colors_i, params_i, feats, hiz_flats,
      hiz_meta, hiz_max_lvls) = _build_batch_images(
         points_C, colors, cfg, make_img
@@ -1291,20 +1316,19 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
         R, t, rng_i, col_i, par_i, feat_i, hflat_i = scan
         img = RangeImage(rng=rng_i, color=col_i, params=par_i, kind=kind)
         hiz = (hflat_i, hiz_meta, hiz_max_lvls)
-        geom, rows, row_ok, d_w, d_wd, d_cw, d_wc3, o = _scan_terms(
+        geom, rows, row_ok, d6, o = _scan_terms(
             geom, R, t, img, cfg, use_color, max_visible_blocks,
             max_mixed_slabs, feat=feat_i, hiz=hiz,
             max_free_slabs=max_free_slabs,
         )
-        acc = _batch_acc_add(acc, rows, row_ok, d_w, d_wd, d_cw, d_wc3,
-                             use_color, flat_acc, mb, v)
+        acc = _batch_acc_add(acc, rows, row_ok, d6, mb)
         return (geom, acc, ovf | o), None
 
     (geom, acc, overflowed), _ = jax.lax.scan(
         body, (geom, acc, jnp.asarray(False)),
         (Rs, ts, rngs, colors_i, params_i, feats, hiz_flats),
     )
-    layer = _fold_batch_acc(layer, geom, acc, cfg, use_color, flat_acc)
+    layer = _fold_batch_acc(layer, geom, acc, cfg, use_color)
     return layer, overflowed
 
 

@@ -202,7 +202,6 @@ def integrate_projective_batch_sharded(
         f"scan count {K} must divide the 'rays' axis ({n_shards})"
     )
     mb = layer.max_blocks
-    v = layer.vps
 
     (img_kind, rngs, colors_i, params_i, feats, hiz_flats,
      hiz_meta, hiz_max_lvls) = proj._build_batch_images(
@@ -233,8 +232,6 @@ def integrate_projective_batch_sharded(
     overflowed = jnp.any(ovfs)
 
     # Phase 2: sharded accumulate + psum merge.
-    _, flat_acc = proj._batch_acc_init(layer)
-
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -243,7 +240,7 @@ def integrate_projective_batch_sharded(
         check_vma=False,
     )
     def shard_acc(Rs_s, ts_s, rngs_s, cols_s, params_s, feats_s, hflats_s):
-        acc, _ = proj._batch_acc_init(layer)
+        acc = proj._batch_acc_init(layer, use_color)
 
         def body(carry, scan):
             acc, ovf = carry
@@ -251,28 +248,25 @@ def integrate_projective_batch_sharded(
             img = proj.RangeImage(rng=rng_i, color=col_i, params=par_i,
                                   kind=img_kind)
             hiz = (hflat_i, hiz_meta, hiz_max_lvls)
-            _, rows, row_ok, d_w, d_wd, d_cw, d_wc3, o = proj._scan_terms(
+            _, rows, row_ok, d6, o = proj._scan_terms(
                 geom, R, t, img, cfg, use_color, max_visible_blocks,
                 max_mixed_slabs, feat=feat_i, hiz=hiz,
                 max_free_slabs=max_free_slabs, allocate=False,
             )
-            acc = proj._batch_acc_add(
-                acc, rows, row_ok, d_w, d_wd, d_cw, d_wc3, use_color,
-                flat_acc, mb, v,
-            )
+            acc = proj._batch_acc_add(acc, rows, row_ok, d6, mb)
             return (acc, ovf | o), None
 
         (acc, ovf), _ = jax.lax.scan(
             body, (acc, jnp.asarray(False)),
             (Rs_s, ts_s, rngs_s, cols_s, params_s, feats_s, hflats_s),
         )
-        acc = jax.tree.map(lambda a: jax.lax.psum(a, "rays"), acc)
+        acc = jax.lax.psum(acc, "rays")
         return acc, jax.lax.psum(ovf.astype(jnp.int32), "rays")
 
     acc, ovf_count = shard_acc(
         Rs, ts, rngs, colors_i, params_i, feats, hiz_flats
     )
-    layer = proj._fold_batch_acc(layer, geom, acc, cfg, use_color, flat_acc)
+    layer = proj._fold_batch_acc(layer, geom, acc, cfg, use_color)
     return layer, overflowed | (ovf_count > 0)
 
 
