@@ -85,6 +85,20 @@ def test_sweep_with_pallas_flag_matches_xla():
     assert det.num_evaluated_voxels > 10000
     assert det.rmse < 5e-3, str(det)
 
+    # Strided (jump-flooding) schedule: strided jumps are valid chamfer
+    # paths, so the fixpoint matches the unit schedule exactly on this
+    # flip-free plane field (sign-flip zones — absent here — are the
+    # reference's inherently order-dependent part).
+    e3 = vl.make_layer("esdf", VOXEL, vps=16, max_blocks=64)
+    e3, _, _ = esdf_ops.update_from_tsdf_batch(
+        e3, layer,
+        dc.replace(base, use_pallas_kernel=True,
+                   sweep_strides=(8, 4, 2, 1)),
+    )
+    det3 = evaluation.evaluate_layers_rmse(e1, e3)
+    assert det3.num_evaluated_voxels > 10000
+    assert det3.rmse < 5e-3, str(det3)
+
 
 def test_window_gather_interpret(rng):
     """Coherent window gather == direct indexing (interpreter mode)."""

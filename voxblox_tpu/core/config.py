@@ -83,6 +83,12 @@ class EsdfIntegratorConfig:
     # Run the fused Pallas relaxation kernel (TPU; quasi-euclidean only —
     # full-euclidean keeps the XLA path). Interpreted on other backends.
     use_pallas_kernel: bool = False
+    # Pallas-path stride schedule per halo exchange (overrides
+    # inner_sweeps when set). Stride-k relaxations take k-voxel jumps of
+    # cost k*step — valid chamfer paths, so values stay upper bounds of
+    # the fixpoint — crossing a block in log passes instead of 16; the
+    # trailing 1s keep the exact fixpoint. E.g. (8, 4, 2, 1, 1).
+    sweep_strides: Optional[tuple] = None
 
 
 @dataclasses.dataclass(frozen=True)

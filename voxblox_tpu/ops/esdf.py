@@ -491,7 +491,7 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
             d2a = _pk.relax_2d(
                 d2, o2, u2, cfg.inner_sweeps, esdf_layer.voxel_size,
                 cfg.max_distance_m, cfg.min_diff_m,
-                interpret=pallas_interpret,
+                interpret=pallas_interpret, strides=cfg.sweep_strides,
             )
             changed = jnp.any(jnp.abs(d2a - d2) > cfg.min_diff_m)
             d2b = _halo_exchange_2d(d2a, nbr_pad, bt)

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 P = 18  # padded block side
 LANES = P * P  # 324 (padded to LANE_PAD)
-LANE_PAD = 512
+LANE_PAD = 384  # next multiple of 128; 512 measured ~25% slower (pure pad)
 
 _OFFSETS = [
     (dx, dy, dz)
@@ -49,22 +49,31 @@ _DIST = {o: float(np.linalg.norm(o)) for o in _OFFSETS}
 BIG = np.float32(1e9)
 
 
-def _relax_kernel(inner_sweeps: int, voxel_size: float, max_distance: float,
+def _relax_kernel(strides: tuple, voxel_size: float, max_distance: float,
                   min_diff: float):
-    """26-neighbor relaxation, mask-free.
+    """26-neighbor relaxation, mask-free at stride 1.
 
-    Boundary masks are unnecessary: only interior voxels (x,y,z in
-    [1,16]) carry ``upd``; their +-1 neighbors live at [0,17], so a lane
-    roll never carries x across a y-row (lane = y*P + x with x+-1 within
-    [0,17]) and a sublane roll never crosses a block's 18-row group.
-    Lanes whose reads DO wrap (halo ring, pad lanes >= 324) produce
-    garbage that ``upd`` discards. Source validity (observed and inside
-    the max-distance window) is pre-packed into the values: invalid
-    voxels become +-BIG, which loses every min/max against a real
+    Boundary masks are unnecessary at stride 1: only interior voxels
+    (x,y,z in [1,16]) carry ``upd``; their +-1 neighbors live at [0,17],
+    so a lane roll never carries x across a y-row (lane = y*P + x with
+    x+-1 within [0,17]) and a sublane roll never crosses a block's 18-row
+    group. Lanes whose reads DO wrap (halo ring, pad lanes >= 324)
+    produce garbage that ``upd`` discards. Source validity (observed and
+    inside the max-distance window) is pre-packed into the values:
+    invalid voxels become +-BIG, which loses every min/max against a real
     candidate. This halves the rolls (no separate validity shift) and
     removes all iota/divide mask math from the hot loop; the z-roll is
     hoisted per dz group (2 sublane rolls per array per sweep instead
     of 26).
+
+    ``strides``: one relaxation per entry, at that step multiple — a
+    stride-k step of cost k*unit is a valid chamfer path, so strided
+    sweeps stay UPPER bounds of the fixpoint while crossing a 16-voxel
+    block in log passes instead of 16 (jump-flooding-style warm start;
+    the trailing stride-1 sweeps keep the exact quasi-euclidean
+    fixpoint). Strided reads need explicit in-block validity masks
+    (cheap separable row x lane constants); the sign-flip rule runs only
+    at stride 1 (it caps |d| at the INTERFACE step length).
     """
 
     def kernel(d_ref, obs_ref, upd_ref, out_ref):
@@ -72,8 +81,25 @@ def _relax_kernel(inner_sweeps: int, voxel_size: float, max_distance: float,
         obs = obs_ref[:] > 0.5
         upd = upd_ref[:] > 0.5
         rows = d.shape[0]
+        # In-block coordinate fields for strided-read masks (Pallas can't
+        # capture array constants; iota-derived, computed once per call).
+        if any(k > 1 for k in strides):
+            col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE_PAD), 1)
+            lane_x = col % P
+            lane_y = col // P
+            row_z = jax.lax.broadcasted_iota(
+                jnp.int32, (rows, LANE_PAD), 0
+            ) % P
 
-        def one_sweep(_, d):
+        # Offsets grouped by step length (1, sqrt2, sqrt3 voxels): the
+        # sign-flip cap only needs WHICH step group tripped (3 booleans),
+        # not a per-offset f32 min accumulation.
+        by_step: dict = {}
+        for o in _OFFSETS:
+            by_step.setdefault(round(_DIST[o], 6), []).append(o)
+
+        def one_sweep(d, k):
+            flips = k == 1
             src = obs & (jnp.abs(d) < max_distance)
             pos = d > 0.0
             # Validity-packed one-sided fields.
@@ -81,50 +107,74 @@ def _relax_kernel(inner_sweeps: int, voxel_size: float, max_distance: float,
             dn = jnp.where(src & ~pos, d, -BIG)
             best_pos = jnp.full_like(d, BIG)
             best_neg = jnp.full_like(d, -BIG)
-            flip_len = jnp.full_like(d, BIG)
-            for dz in (-1, 0, 1):
-                dpz = pltpu.roll(dp, (-dz) % rows, 0) if dz else dp
-                dnz = pltpu.roll(dn, (-dz) % rows, 0) if dz else dn
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        if (dx, dy, dz) == (0, 0, 0):
-                            continue
-                        step = np.float32(
-                            _DIST[(dx, dy, dz)] * voxel_size
+            trips = []
+            zrolled = {
+                dz: (
+                    pltpu.roll(dp, (-dz * k) % rows, 0) if dz else dp,
+                    pltpu.roll(dn, (-dz * k) % rows, 0) if dz else dn,
+                )
+                for dz in (-1, 0, 1)
+            }
+            for dist_vox, offs in sorted(by_step.items()):
+                step = np.float32(dist_vox * voxel_size * k)
+                # Sign-flip thresholds (esdf_integrator.cc:458-496): an
+                # opposite-sign neighbor whose projected value disagrees
+                # by > step caps |d| at step. Sign structure kills half
+                # the reference's |.| test: a valid negative-side
+                # neighbor can never EXCEED a positive center (and
+                # mirrored), so only the one-sided comparisons remain:
+                #   pos center: ndn < d - 2*step
+                #   neg center: ndp > d + 2*step
+                if flips:
+                    lo = d - 2 * step
+                    hi = d + 2 * step
+                trip = None
+                for (dx, dy, dz) in offs:
+                    ndp, ndn = zrolled[dz]
+                    ls = (-(dx + P * dy) * k) % LANE_PAD
+                    if ls:
+                        ndp = pltpu.roll(ndp, ls, 1)
+                        ndn = pltpu.roll(ndn, ls, 1)
+                    if k > 1:
+                        # Strided reads can leave the 18^3 block: mask
+                        # by in-block validity of the source coordinate.
+                        m = (
+                            (lane_x + k * dx >= 0)
+                            & (lane_x + k * dx <= P - 1)
+                            & (lane_y + k * dy >= 0)
+                            & (lane_y + k * dy <= P - 1)
+                            & (row_z + k * dz >= 0)
+                            & (row_z + k * dz <= P - 1)
                         )
-                        ls = (-(dx + P * dy)) % LANE_PAD
-                        ndp = pltpu.roll(dpz, ls, 1) if ls else dpz
-                        ndn = pltpu.roll(dnz, ls, 1) if ls else dnz
-                        best_pos = jnp.minimum(best_pos, ndp + step)
-                        best_neg = jnp.maximum(best_neg, ndn - step)
-                        # Sign-flip rule (esdf_integrator.cc:458-496):
-                        # an opposite-sign neighbor whose projected value
-                        # disagrees by > step caps |d| at step. Positive
-                        # centers test negative neighbors and vice versa.
-                        disc_n = (ndn > -BIG / 2) & (
-                            jnp.abs(ndn + step - d) > step
+                        ndp = jnp.where(m, ndp, BIG)
+                        ndn = jnp.where(m, ndn, -BIG)
+                    best_pos = jnp.minimum(best_pos, ndp + step)
+                    best_neg = jnp.maximum(best_neg, ndn - step)
+                    if flips:
+                        # (invalid sentinels +-BIG would satisfy the
+                        # one-sided tests, so the validity guard stays.)
+                        t = ((ndn > -BIG / 2) & (ndn < lo) & pos) | (
+                            (ndp < BIG / 2) & (ndp > hi) & ~pos
                         )
-                        disc_p = (ndp < BIG / 2) & (
-                            jnp.abs(ndp - step - d) > step
-                        )
-                        # (no jnp.where on i1 vectors — Mosaic can't
-                        # lower the i8->i1 select truncation)
-                        tripped = (pos & disc_n) | (~pos & disc_p)
-                        flip_len = jnp.where(
-                            tripped, jnp.minimum(flip_len, step), flip_len
-                        )
+                        trip = t if trip is None else (trip | t)
+                if flips:
+                    trips.append((step, trip))
             cand = jnp.where(
                 pos, jnp.minimum(d, best_pos), jnp.maximum(d, best_neg)
             )
             sgn = jnp.where(pos, 1.0, -1.0)
-            cand = jnp.where(
-                (flip_len < BIG / 2) & (jnp.abs(cand) > flip_len),
-                sgn * flip_len, cand,
-            )
+            # Apply flip caps largest step first so the smallest tripped
+            # step wins (min over tripped groups).
+            for step, trip in reversed(trips):
+                cand = jnp.where(
+                    trip & (jnp.abs(cand) > step), sgn * step, cand
+                )
             improved = jnp.abs(cand - d) > min_diff
             return jnp.where(upd & improved, cand, d)
 
-        out_ref[:] = jax.lax.fori_loop(0, inner_sweeps, one_sweep, d)
+        for k in strides:
+            d = one_sweep(d, int(k))
+        out_ref[:] = d
 
     return kernel
 
@@ -147,14 +197,17 @@ def from_2d(x2, b: int):
 
 def relax_2d(d2, o2, u2, inner_sweeps: int, voxel_size: float,
              max_distance: float, min_diff: float,
-             interpret: bool = False, block_tile: int = 8):
-    """Run inner_sweeps relaxations directly on kernel-layout state
-    ([BT*18, LANE_PAD] from ``to_2d``) — callers that keep the sweep
-    state 2D across outer iterations skip the per-call cube<->2D
-    relayouts (~5 ms per call at 512 blocks)."""
+             interpret: bool = False, block_tile: int = 8,
+             strides=None):
+    """Run relaxations directly on kernel-layout state ([BT*18, LANE_PAD]
+    from ``to_2d``) — callers that keep the sweep state 2D across outer
+    iterations skip the per-call cube<->2D relayouts (~5 ms per call at
+    512 blocks). ``strides``: per-relaxation step multiples (default
+    ``(1,) * inner_sweeps``); see _relax_kernel."""
+    strides = tuple(strides) if strides else (1,) * inner_sweeps
     rows = d2.shape[0]
     bt = rows // P
-    kern = _relax_kernel(inner_sweeps, voxel_size, max_distance, min_diff)
+    kern = _relax_kernel(strides, voxel_size, max_distance, min_diff)
     rows_tile = block_tile * P
     grid = (bt // block_tile,)
     return pl.pallas_call(
@@ -178,11 +231,12 @@ def relax_2d(d2, o2, u2, inner_sweeps: int, voxel_size: float,
 @partial(
     jax.jit,
     static_argnames=("inner_sweeps", "voxel_size", "max_distance",
-                     "min_diff", "interpret", "block_tile"),
+                     "min_diff", "interpret", "block_tile", "strides"),
 )
 def relax_padded(d_pad, obs_pad, upd_pad, inner_sweeps: int,
                  voxel_size: float, max_distance: float, min_diff: float,
-                 interpret: bool = False, block_tile: int = 8):
+                 interpret: bool = False, block_tile: int = 8,
+                 strides=None):
     """Run inner_sweeps relaxations on padded blocks.
 
     d_pad: f32[B, 18, 18, 18] distances (with halo ring).
@@ -196,5 +250,6 @@ def relax_padded(d_pad, obs_pad, upd_pad, inner_sweeps: int,
         to_2d(d_pad, block_tile), to_2d(obs_pad, block_tile),
         to_2d(upd_pad, block_tile), inner_sweeps, voxel_size,
         max_distance, min_diff, interpret=interpret, block_tile=block_tile,
+        strides=strides,
     )
     return from_2d(out, b)
