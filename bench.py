@@ -188,15 +188,21 @@ def _secondary(jax, jnp, np, layer, voxel, esdf_ops, render_ops,
     origins = jnp.broadcast_to(jnp.asarray([0.0, -4.0, 2.0]), dirs.shape)
     depth, hit = render_ops.render_depth(layer, origins, dirs, 8.0)
     jax.block_until_ready(depth)
-    t0 = time.perf_counter()
-    for i in range(4):
-        # Vary the origin per call: identical inputs can be memoized
-        # somewhere in the remote-TPU path (see CLAUDE.md).
-        depth, hit = render_ops.render_depth(
-            layer, origins + np.float32(1e-4 * (i + 1)), dirs, 8.0
-        )
-    float(depth[0])  # readback-forced sync
-    rays_per_sec = 4 * n_rays / (time.perf_counter() - t0)
+    # Median of 3 timed groups: single groups occasionally catch leftover
+    # tunnel/compile turbulence (measured 25x outliers right after an
+    # unrelated first-compile; isolated reruns are stable within 3%).
+    times = []
+    for g in range(3):
+        t0 = time.perf_counter()
+        for i in range(4):
+            # Vary the origin per call: identical inputs can be memoized
+            # somewhere in the remote-TPU path (see CLAUDE.md).
+            depth, hit = render_ops.render_depth(
+                layer, origins + np.float32(1e-4 * (4 * g + i + 1)), dirs, 8.0
+            )
+        float(depth[0])  # readback-forced sync
+        times.append(time.perf_counter() - t0)
+    rays_per_sec = 4 * n_rays / sorted(times)[1]
 
     print(
         f"tsdf projective: {ms_per_scan:.3f} ms/scan ({points_per_sec/1e6:.1f} M "

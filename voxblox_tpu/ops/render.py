@@ -374,12 +374,38 @@ def render_depth(
         gvec = jnp.stack([gx, gy, gz], axis=-1) / vs
         return val, gvec, valid
 
-    # Gradient-stopped trilinear refinements pull the stop point into
-    # the correct interpolation cell before the differentiable Newton
-    # step (the march stops within ~0.9 voxel; each pull clamps to
-    # +-2 voxels, so 5 iterations give ample slack).
+    def nearest_value(x):
+        """March-field value of the containing voxel (2 small gathers)."""
+        gvi = grid.point_to_grid_index(x, 1.0 / vs)
+        block, local = grid.split_global(gvi, v)
+        relv = block - origin_blk
+        inb = jnp.all((relv >= 0) & (relv < dim), axis=-1)
+        a = (relv[:, 0] * dim + relv[:, 1]) * dim + relv[:, 2]
+        slot = dense_all.at[jnp.where(inb, a, 0)].get(
+            mode="fill", fill_value=-1
+        )
+        slot = jnp.where(inb, slot, -1)
+        lin = grid.local_to_linear(local, v)
+        flat = jnp.where(slot >= 0, slot * layer.voxels_per_block + lin, -1)
+        s = field.at[flat].get(mode="fill", fill_value=jnp.inf)
+        return s, jnp.isfinite(s)
+
+    # Gradient-stopped refinements pull the stop point into the correct
+    # interpolation cell before the differentiable Newton step (the march
+    # stops within ~0.9 voxel; each pull clamps to +-2 voxels). The first
+    # pulls use the NEAREST-voxel value — 2 gathers of R elements instead
+    # of the trilinear pass's 2x8R corner gathers (each 8-corner pass
+    # measured 7.4 ms per 65k rays: the corner gathers, not the march,
+    # dominate the renderer) — converging t to voxel-center accuracy;
+    # two trilinear pulls then settle the sub-voxel remainder.
     t_stop = jax.lax.stop_gradient(t_raw)
-    for _ in range(5):
+    for _ in range(3):
+        x_r = origins + t_stop[:, None] * dirs
+        s_r, v_r = nearest_value(x_r)
+        t_stop = jax.lax.stop_gradient(
+            jnp.where(v_r, t_stop + jnp.clip(s_r, -2 * vs, 2 * vs), t_stop)
+        )
+    for _ in range(2):
         x_r = origins + t_stop[:, None] * dirs
         s_r, v_r = fast_value(x_r)
         t_stop = jax.lax.stop_gradient(
