@@ -1,0 +1,93 @@
+"""Incremental meshing benchmark (reference: Performance.rst meshing
+ms/scan — 2/10/66 ms at 20/5/2 cm on the i7).
+
+Measures generate_mesh over the dirty blocks left by one scan on the
+orbit map at 5 cm voxels (the reference's incremental per-scan meshing).
+"""
+import sys, time
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from voxblox_tpu.core import layer as vlayer
+from voxblox_tpu.core.config import MeshIntegratorConfig, TsdfIntegratorConfig
+from voxblox_tpu.ops import mesh as mesh_ops
+from voxblox_tpu.ops import projective
+from voxblox_tpu.sim import world as sw
+
+w = sw.SimulationWorld()
+w.add_cylinder((0.0, 0.0, 2.0), 2.0, 4.0, color=(0, 255, 0))
+w.add_ground_level(0.0)
+objs = w.freeze()
+res = (640, 480)
+voxel = 0.05
+cfg = TsdfIntegratorConfig(default_truncation_distance=4 * voxel,
+                           max_ray_length_m=5.0)
+fx = res[0] / (2.0 * np.tan(np.deg2rad(60.0) / 2.0))
+intr = (fx, fx, res[0] / 2.0, res[1] / 2.0)
+
+@jax.jit
+def mk(o, v):
+    R = sw.rotation_from_two_vectors(jnp.asarray([0.0, 0.0, 1.0]), v)
+    p, c, _, _ = sw.organized_pointcloud_from_transform(
+        objs, (R, o), res, np.deg2rad(60.0), 8.0)
+    return R, p, c
+
+def scan_at(i, n=16):
+    a = 2 * np.pi * i / n
+    pos = jnp.asarray([4*np.cos(a), 4*np.sin(a), 2.0], jnp.float32)
+    view = jnp.asarray([-np.cos(a), -np.sin(a), 0.0], jnp.float32)
+    R, p, c = mk(pos, view)
+    return R, pos, p, c
+
+layer = vlayer.make_layer("tsdf", voxel, vps=16, max_blocks=4096)
+S = [scan_at(i) for i in range(16)]
+layer, _ = projective.integrate_organized_projective_batch(
+    layer, jnp.stack([s[0] for s in S]), jnp.stack([s[1] for s in S]),
+    jnp.stack([s[2] for s in S]), jnp.stack([s[3] for s in S]), cfg,
+    intrinsics=intr, pool=2, max_visible_blocks=256, max_mixed_slabs=2048,
+    max_free_slabs=512)
+jax.block_until_ready(layer.channels["tsdf"])
+
+mcfg = MeshIntegratorConfig()
+ml = mesh_ops.MeshLayer(layer.block_size)
+# Full-map mesh (compile + batch warmup).
+t0 = time.perf_counter()
+layer = mesh_ops.generate_mesh(layer, ml, mcfg, only_updated=False,
+                               clear_updated_flag=True)
+full_ms = (time.perf_counter() - t0) * 1e3
+nv = ml.num_vertices()
+
+# Incremental: one new scan dirties ~a scan's worth of blocks.
+times = []
+for i in range(3):
+    R, pos, p, c = scan_at(i, n=12)
+    layer, _ = projective.integrate_organized_projective(
+        layer, (R, pos), p, c, cfg, intrinsics=intr, pool=2,
+        max_visible_blocks=256,
+    ) if hasattr(projective, "integrate_organized_projective") else (
+        projective.integrate_organized_projective_batch(
+            layer, R[None], pos[None], p[None], c[None], cfg,
+            intrinsics=intr, pool=2, max_visible_blocks=256,
+            max_mixed_slabs=2048, max_free_slabs=512,
+        )
+    )
+    n_dirty = int(np.asarray(vlayer.dirty_mask(layer, vlayer.DIRTY_MESH)).sum())
+    t0 = time.perf_counter()
+    if i == 2 and "--trace" in sys.argv:
+        with jax.profiler.trace("/tmp/mesh_trace"):
+            layer = mesh_ops.generate_mesh(layer, ml, mcfg, only_updated=True,
+                                           clear_updated_flag=True)
+    else:
+        layer = mesh_ops.generate_mesh(layer, ml, mcfg, only_updated=True,
+                                       clear_updated_flag=True)
+    times.append((time.perf_counter() - t0) * 1e3)
+    print(f"incremental mesh: {times[-1]:.1f} ms ({n_dirty} dirty blocks)",
+          file=sys.stderr)
+print(f"full: {full_ms:.1f} ms ({nv} verts); "
+      f"incremental median: {sorted(times)[1]:.1f} ms "
+      f"(reference 5cm: 10 ms/scan)")

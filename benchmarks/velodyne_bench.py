@@ -75,10 +75,16 @@ layer, ovf = run(layer, 0)
 jax.block_until_ready(layer.channels["tsdf"])
 print("blocks:", int(layer.num_blocks), "overflow:", bool(ovf),
       file=sys.stderr)
+TRACE = "--trace" in sys.argv
+if TRACE:
+    import jax.profiler
+    with jax.profiler.trace("/tmp/velo_trace"):
+        layer, ovf = run(layer, 1)
+        float(jnp.sum(layer.channels["weight"][:1]))
 t0 = time.perf_counter()
 reps = 3
 for i in range(reps):
-    layer, ovf = run(layer, i + 1)
+    layer, ovf = run(layer, i + 1 + (1 if TRACE else 0))
 float(jnp.sum(layer.channels["weight"][:1]))
 dt = (time.perf_counter() - t0) / (reps * K)
 print(f"velodyne 0.2m/50m: {dt*1e3:.2f} ms/scan "

@@ -232,6 +232,96 @@ def seed_from_tsdf(
     return esdf_layer, changed, raised_rows
 
 
+def _seed_compact(esdf_layer, tsdf_layer, cfg, tsdf_rows_mask, k: int):
+    """seed_from_tsdf restricted to a compacted working set of <= k rows.
+
+    The propagate pass touches only rows whose TSDF counterpart is
+    selected; full-pool seeding pays pool-extent passes over every
+    channel (measured ~30 ms device at mb=16384 for a 357-block map).
+    Returns (esdf_layer, changed_rows, raised_rows, overflow) — overflow
+    means the selected set exceeded k (some rows unseeded; the public
+    entry points retry with a doubled bucket, like the sweep's
+    region_overflow).
+    """
+    vpb = esdf_layer.voxels_per_block
+    mbe = esdf_layer.max_blocks
+
+    tsdf_slot_of_esdf = vlayer.lookup_blocks(tsdf_layer, esdf_layer.block_ijk)
+    sel_t = tsdf_rows_mask.at[
+        jnp.where(tsdf_slot_of_esdf >= 0, tsdf_slot_of_esdf, 0)
+    ].get()
+    sel = esdf_layer.active_mask() & (tsdf_slot_of_esdf >= 0) & sel_t
+    overflow = jnp.sum(sel) > k
+    rows = jnp.nonzero(sel, size=k, fill_value=-1)[0]
+    ok = rows >= 0
+    safe = jnp.where(ok, rows, 0)
+    safe_t = jnp.where(ok, tsdf_slot_of_esdf[safe], 0)
+
+    t_d = tsdf_layer.channels["tsdf"].reshape(-1, vpb)[safe_t]
+    t_w = tsdf_layer.channels["weight"].reshape(-1, vpb)[safe_t]
+    e_d = esdf_layer.channels["esdf"].reshape(mbe, vpb)[safe]
+    e_f = esdf_layer.channels["esdf_flags"].reshape(mbe, vpb)[safe]
+
+    observed_t = (t_w >= cfg.min_weight) & ok[:, None]
+    tsdf_fixed = observed_t & (jnp.abs(t_d) < cfg.min_distance_m)
+    sgn = jnp.where(t_d >= 0.0, 1.0, -1.0)
+    seed_d = jnp.where(tsdf_fixed, t_d, sgn * cfg.default_distance_m)
+
+    was_obs = (e_f & OBS) != 0
+    was_fixed = (e_f & FIX) != 0
+    was_hall = (e_f & HALL) != 0
+    new_voxel = observed_t & (~was_obs | was_hall)
+    exist = observed_t & was_obs & ~was_hall
+    either_fixed = tsdf_fixed | was_fixed
+    unfix = exist & either_fixed & ~tsdf_fixed
+    lower = exist & either_fixed & tsdf_fixed & (
+        ((e_d > 0.0) & (t_d + cfg.min_diff_m < e_d))
+        | ((e_d <= 0.0) & (t_d - cfg.min_diff_m > e_d))
+    )
+    raise_ = exist & either_fixed & tsdf_fixed & (
+        ((e_d > 0.0) & (t_d - cfg.min_diff_m > e_d))
+        | ((e_d <= 0.0) & (t_d + cfg.min_diff_m < e_d))
+    )
+    flip = exist & ~either_fixed & (jnp.sign(t_d) != jnp.sign(e_d))
+    update = new_voxel | unfix | lower | raise_ | flip
+    out_d = jnp.where(update, seed_d, e_d)
+    raised = unfix | raise_ | (flip & (t_d >= e_d))
+    new_flags = (
+        OBS | jnp.where(tsdf_fixed, FIX, np.uint8(0)).astype(jnp.uint8)
+    )
+    out_f = jnp.where(observed_t, new_flags, e_f).astype(jnp.uint8)
+
+    wr = jnp.where(ok, rows, mbe)
+    ch = dict(esdf_layer.channels)
+    ch["esdf"] = ch["esdf"].reshape(mbe, vpb).at[wr].set(
+        out_d, mode="drop", unique_indices=True
+    ).reshape(ch["esdf"].shape)
+    ch["esdf_flags"] = ch["esdf_flags"].reshape(mbe, vpb).at[wr].set(
+        out_f, mode="drop", unique_indices=True
+    ).reshape(ch["esdf_flags"].shape)
+    # Parent reset through the flat interleaved view + lane-repeat of the
+    # update mask (a [k, vpb, 3] intermediate would tile 3 -> 128 lanes).
+    pf = ch["parent"].reshape(mbe, vpb * 3)
+    upd3 = jnp.repeat(update, 3, axis=1)
+    out_p = jnp.where(upd3, np.int8(0), pf[safe])
+    ch["parent"] = pf.at[wr].set(
+        out_p, mode="drop", unique_indices=True
+    ).reshape(ch["parent"].shape)
+
+    changed_r = jnp.any(
+        update | (jnp.abs(out_d - e_d) > cfg.min_diff_m), axis=1
+    ) & ok
+    raised_r = jnp.any(raised, axis=1) & ok
+    changed_rows = jnp.zeros((mbe + 1,), bool).at[wr].set(
+        changed_r, mode="drop"
+    )[:-1]
+    raised_rows = jnp.zeros((mbe + 1,), bool).at[wr].set(
+        raised_r, mode="drop"
+    )[:-1]
+    esdf_layer = dataclasses.replace(esdf_layer, channels=ch)
+    return esdf_layer, changed_rows, raised_rows, overflow
+
+
 # ---------------------------------------------------------------------------
 # Lower sweep
 # ---------------------------------------------------------------------------
@@ -794,9 +884,17 @@ def _batch_jit(esdf_layer, tsdf_layer, cfg: EsdfIntegratorConfig):
 
     rows_mask = tsdf_layer.active_mask()
     esdf_layer, overflow = _sync_blocks(esdf_layer, tsdf_layer, rows_mask)
-    esdf_layer, _, _ = seed_from_tsdf(esdf_layer, tsdf_layer, cfg, rows_mask)
+    k = cfg.max_active_blocks
+    if k is None or k >= esdf_layer.max_blocks:
+        esdf_layer, _, _ = seed_from_tsdf(esdf_layer, tsdf_layer, cfg,
+                                          rows_mask)
+        seed_ovf = jnp.asarray(False)
+    else:
+        esdf_layer, _, _, seed_ovf = _seed_compact(
+            esdf_layer, tsdf_layer, cfg, rows_mask, k
+        )
     esdf_layer, iters, region_ovf = lower_sweep(esdf_layer, cfg)
-    return esdf_layer, overflow, region_ovf, iters
+    return esdf_layer, overflow, region_ovf | seed_ovf, iters
 
 
 def update_from_tsdf_incremental(
@@ -824,9 +922,16 @@ def update_from_tsdf_incremental(
 @partial(jax.jit, static_argnames=("cfg",))
 def _incremental_jit(esdf_layer, tsdf_layer, dirty_rows, cfg):
     esdf_layer, overflow = _sync_blocks(esdf_layer, tsdf_layer, dirty_rows)
-    esdf_layer, changed_rows, raised_rows = seed_from_tsdf(
-        esdf_layer, tsdf_layer, cfg, dirty_rows
-    )
+    k = cfg.max_active_blocks
+    seed_ovf = jnp.asarray(False)
+    if k is None or k >= esdf_layer.max_blocks:
+        esdf_layer, changed_rows, raised_rows = seed_from_tsdf(
+            esdf_layer, tsdf_layer, cfg, dirty_rows
+        )
+    else:
+        esdf_layer, changed_rows, raised_rows, seed_ovf = _seed_compact(
+            esdf_layer, tsdf_layer, cfg, dirty_rows, k
+        )
     # Raise: reset the influence region of rows whose values moved away
     # from the surface, bounded by max_distance.
     radius = max(
@@ -841,4 +946,4 @@ def _incremental_jit(esdf_layer, tsdf_layer, dirty_rows, cfg):
     )
     esdf_layer, iters, region_ovf = lower_sweep(esdf_layer, cfg, sweep_region)
     tsdf_layer = vlayer.clear_dirty(tsdf_layer, vlayer.DIRTY_ESDF)
-    return esdf_layer, tsdf_layer, overflow, region_ovf, iters
+    return esdf_layer, tsdf_layer, overflow, region_ovf | seed_ovf, iters

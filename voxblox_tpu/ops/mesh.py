@@ -35,7 +35,47 @@ from ..core import grid
 from ..core import layer as vlayer
 from ..core.config import MeshIntegratorConfig
 from . import marching_cubes as mc
-from .esdf import build_padded, neighbor_slot_table
+from .esdf import neighbor_slot_table
+
+
+def _padded_from_pool(values, nbr_sel, fill, v):
+    """Halo-padded cubes for SELECTED rows, gathered from the full pool.
+
+    values: [mb, v, v, v] pool channel; nbr_sel: int32[B, 27] pool slots
+    of each selected row's 3x3x3 neighborhood (-1 missing; offset k =
+    ((dx+1)*3+(dy+1))*3+(dz+1), center k=13). Returns
+    [B, v+2, v+2, v+2]. Gathers are B-sized (27 small row-gathers), not
+    pool-sized."""
+    mb = values.shape[0]
+    ext = jnp.concatenate(
+        [values, jnp.full((1, v, v, v), fill, values.dtype)], axis=0
+    )
+    safe = jnp.where(nbr_sel < 0, mb, nbr_sel)  # [B, 27]
+    b = nbr_sel.shape[0]
+    padded = jnp.full((b, v + 2, v + 2, v + 2), fill, values.dtype)
+    padded = padded.at[:, 1:-1, 1:-1, 1:-1].set(ext[safe[:, 13]])
+
+    def src_slice(o):
+        return slice(v - 1, v) if o == -1 else (
+            slice(0, 1) if o == 1 else slice(0, v))
+
+    def dst_slice(o):
+        return slice(0, 1) if o == -1 else (
+            slice(v + 1, v + 2) if o == 1 else slice(1, v + 1))
+
+    k = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                if (dx, dy, dz) == (0, 0, 0):
+                    k += 1
+                    continue
+                rows_k = ext[safe[:, k]]
+                padded = padded.at[
+                    :, dst_slice(dz), dst_slice(dy), dst_slice(dx)
+                ].set(rows_k[:, src_slice(dz), src_slice(dy), src_slice(dx)])
+                k += 1
+    return padded
 
 
 @dataclasses.dataclass
@@ -114,6 +154,38 @@ def weld_vertices(vertices, normals, colors, tol: float = 1e-6):
 @partial(jax.jit, static_argnames=("min_weight", "use_color"))
 def _march_rows(layer: vlayer.VoxelLayer, rows, min_weight: float,
                 use_color: bool):
+    """Dense (uncompacted) outputs — the fallback when the packed path's
+    triangle budget overflows. Returns (tri_verts, tri_mask, tri_colors,
+    tri_normals) over all cubes."""
+    tri_verts, tri_mask, corner_pos, corner_color = _march_core(
+        layer, rows, min_weight, use_color
+    )
+    if corner_color is not None:
+        # Nearest-corner color per triangle vertex (updateMeshColor uses
+        # the voxel nearest the vertex; corners are voxel centers here).
+        d2 = jnp.sum(
+            (tri_verts[..., None, :]
+             - corner_pos[:, :, None, None, :, :]) ** 2,
+            axis=-1,
+        )  # [B,C,5,3,8]
+        nearest = jnp.argmin(d2, axis=-1)
+        tri_colors = jnp.take_along_axis(
+            corner_color[:, :, None, None, :, :],
+            nearest[..., None, None].repeat(3, -1),
+            axis=-2,
+        )[..., 0, :]
+    else:
+        tri_colors = jnp.zeros(tri_verts.shape, jnp.float32)
+    # Flat normals computed HERE, batched: a per-block host-side
+    # triangle_normals call has a data-dependent shape, so it recompiled
+    # and round-tripped the remote TPU per block (measured SECONDS per
+    # scan through the tunnel).
+    tri_normals = mc.triangle_normals(tri_verts)  # [B, C, 5, 3]
+    return tri_verts, tri_mask, tri_colors, tri_normals
+
+
+def _march_core(layer: vlayer.VoxelLayer, rows, min_weight: float,
+                use_color: bool):
     """March all vps^3 cubes of the selected pool rows.
 
     Works on TSDF and ESDF layers (the reference MeshIntegrator is
@@ -127,34 +199,29 @@ def _march_rows(layer: vlayer.VoxelLayer, rows, min_weight: float,
     tri_colors f32[B, C, 5, 3, 3]) with C = vps^3 cubes.
     """
     v = layer.vps
-    nbr = neighbor_slot_table(layer)
+    row_ok = rows >= 0
+    safe_rows = jnp.where(row_ok, rows, 0)
+    # Selected-rows halo build: gather each offset's neighbor cubes for
+    # the B selected rows only. The previous build_padded over the FULL
+    # pool wrote 27 dynamic-update-slices of [mb, 18, 18, 18] (~370 ms
+    # device at mb=4096) to then keep B=64 rows of it.
+    nbr_sel = neighbor_slot_table(layer)[safe_rows]  # [B, 27]
+
+    def padded_sel(values, fill):
+        return _padded_from_pool(values, nbr_sel, fill, v)
+
     if layer.layer_type == "esdf":
-        sdf_pad = build_padded(
-            layer, layer.channels["esdf"], nbr, jnp.float32(0.0)
-        )
-        flags_pad = build_padded(
-            layer, layer.channels["esdf_flags"], nbr, jnp.uint8(0)
-        )
+        sdf_pad = padded_sel(layer.channels["esdf"], jnp.float32(0.0))
+        flags_pad = padded_sel(layer.channels["esdf_flags"], jnp.uint8(0))
         w_pad = ((flags_pad & vlayer.ESDF_OBSERVED) != 0).astype(jnp.float32)
         min_weight = 0.5  # validity = observed flag
     else:
-        sdf_pad = build_padded(
-            layer, layer.channels["tsdf"], nbr, jnp.float32(0.0)
-        )
-        w_pad = build_padded(
-            layer, layer.channels["weight"], nbr, jnp.float32(0.0)
-        )
-    row_ok = rows >= 0
-    safe_rows = jnp.where(row_ok, rows, 0)
-    sdf_pad = sdf_pad[safe_rows]  # [B, v+2, v+2, v+2]
-    w_pad = w_pad[safe_rows]
+        sdf_pad = padded_sel(layer.channels["tsdf"], jnp.float32(0.0))
+        w_pad = padded_sel(layer.channels["weight"], jnp.float32(0.0))
     if use_color:
         color_pad = jnp.stack(
             [
-                build_padded(
-                    layer, layer.channels["color"][..., c], nbr,
-                    jnp.float32(0.0)
-                )[safe_rows]
+                padded_sel(layer.channels["color"][..., c], jnp.float32(0.0))
                 for c in range(3)
             ],
             axis=-1,
@@ -211,26 +278,82 @@ def _march_rows(layer: vlayer.VoxelLayer, rows, min_weight: float,
         corner_color = jnp.stack(corner_color, axis=-2).reshape(
             b, v**3, 8, 3
         )
-        # Nearest-corner color per triangle vertex (updateMeshColor uses the
-        # voxel nearest the vertex; corners are voxel centers here).
-        d2 = jnp.sum(
-            (tri_verts[..., None, :] - corner_pos[:, :, None, None, :, :]) ** 2,
-            axis=-1,
-        )  # [B,C,5,3,8]
-        nearest = jnp.argmin(d2, axis=-1)
-        tri_colors = jnp.take_along_axis(
-            corner_color[:, :, None, None, :, :],
-            nearest[..., None, None].repeat(3, -1),
-            axis=-2,
-        )[..., 0, :]
     else:
-        tri_colors = jnp.zeros(tri_verts.shape, jnp.float32)
-    return tri_verts, tri_mask, tri_colors
+        corner_color = None
+    return tri_verts, tri_mask, corner_pos, corner_color
+
+
+@partial(jax.jit,
+         static_argnames=("min_weight", "use_color", "max_tris"))
+def _march_rows_packed(layer: vlayer.VoxelLayer, rows, min_weight: float,
+                       use_color: bool, max_tris: int):
+    """_march_rows + device-side triangle compaction.
+
+    The full [B, C, 5, ...] outputs are ~100 MB per 64-block batch while
+    a scan's worth of valid triangles is ~1 MB — through a remote-TPU
+    tunnel (~15 MB/s) the transfer dominated meshing by 100x. Returns
+    (packed f32[max_tris, 12], counts int32[B], overflow bool): packed
+    columns 0-8 = the 3 vertices, 9-11 = per-vertex rgb as u8-packed u32
+    bits; triangles are block-major so host-side np.cumsum(counts) splits
+    them per block. Normals are recomputed on host (3 numpy ops).
+    """
+    tv, tm, corner_pos, corner_color = _march_core(
+        layer, rows, min_weight, use_color
+    )
+    b = rows.shape[0]
+    flat_m = tm.reshape(-1)
+    n_flat = flat_m.shape[0]
+    ids = jnp.nonzero(flat_m, size=max_tris, fill_value=n_flat)[0]
+    overflow = jnp.sum(flat_m) > max_tris
+    safe = jnp.where(ids < n_flat, ids, 0)
+    vv = tv.reshape(n_flat, 9)[safe]
+    if corner_color is not None:
+        # Nearest-corner color, computed ONLY for the compacted
+        # triangles (dense per-cube color assignment was a 11.8M-element
+        # gather — 189 ms/scan; compacted it's <= max_tris*3*8).
+        cube = safe // 5
+        cpos = corner_pos.reshape(-1, 8, 3)[cube]  # [T,8,3]
+        ccol = corner_color.reshape(-1, 8, 3)[cube]
+        verts3 = vv.reshape(-1, 3, 3)
+        d2 = jnp.sum(
+            (verts3[:, :, None, :] - cpos[:, None, :, :]) ** 2, axis=-1
+        )  # [T,3,8]
+        nearest = jnp.argmin(d2, axis=-1)  # [T,3]
+        cols = jnp.take_along_axis(ccol, nearest[..., None], axis=1)
+        cc = jnp.clip(cols, 0, 255).astype(jnp.uint32)
+        cw = cc[..., 0] | (cc[..., 1] << 8) | (cc[..., 2] << 16)  # [T,3]
+    else:
+        cw = jnp.zeros((max_tris, 3), jnp.uint32)
+    packed = jnp.concatenate(
+        [vv, jax.lax.bitcast_convert_type(cw, jnp.float32)], axis=-1
+    )
+    packed = jnp.where((ids < n_flat)[:, None], packed, 0.0)
+    counts = jnp.sum(tm.reshape(b, -1), axis=-1).astype(jnp.int32)
+    return packed, counts, overflow
 
 
 # ---------------------------------------------------------------------------
 # Host driver
 # ---------------------------------------------------------------------------
+
+
+def _emit_block(mesh_layer, index, verts, cols):
+    """numpy triangles [T,3,3] + colors [T,3,3] -> BlockMesh (flat
+    normals computed here: 3 vectorized numpy ops)."""
+    a = verts[:, 1] - verts[:, 0]
+    b = verts[:, 2] - verts[:, 0]
+    n = np.cross(a, b)
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    flat_v = verts.reshape(-1, 3)
+    mesh_layer.update_block(
+        index,
+        BlockMesh(
+            vertices=flat_v,
+            normals=np.repeat(n, 3, axis=0).astype(np.float32),
+            colors=cols.reshape(-1, 3).astype(np.uint8),
+            indices=np.arange(len(flat_v), dtype=np.int32),
+        ),
+    )
 
 
 def generate_mesh(
@@ -254,36 +377,46 @@ def generate_mesh(
     block_ijk = np.asarray(layer.block_ijk)
     use_color = cfg.use_color and "color" in layer.channels
 
+    max_tris = batch * 512
     for s in range(0, len(rows), batch):
         chunk = rows[s : s + batch]
         pad = np.full(batch, -1, np.int32)
         pad[: len(chunk)] = chunk
-        tv, tm, tc = _march_rows(
-            layer, jnp.asarray(pad), cfg.min_weight, use_color
+        data, counts, overflow = jax.device_get(
+            _march_rows_packed(
+                layer, jnp.asarray(pad), cfg.min_weight, use_color,
+                max_tris,
+            )
         )
-        tv, tm, tc = np.asarray(tv), np.asarray(tm), np.asarray(tc)
+        if bool(overflow):
+            # Dense-geometry fallback: the uncompacted (large) transfer.
+            tv, tm, tc, tn = _march_rows(
+                layer, jnp.asarray(pad), cfg.min_weight, use_color
+            )
+            tv, tm, tc, tn = (np.asarray(tv), np.asarray(tm),
+                              np.asarray(tc), np.asarray(tn))
+            for bi, row in enumerate(chunk):
+                m = tm[bi]
+                verts = tv[bi][m]
+                if len(verts) == 0:
+                    mesh_layer.update_block(block_ijk[row], None)
+                    continue
+                _emit_block(mesh_layer, block_ijk[row], verts,
+                            np.clip(tc[bi][m], 0, 255))
+            continue
+        offs = np.concatenate([[0], np.cumsum(counts)])
         for bi, row in enumerate(chunk):
-            m = tm[bi]
-            verts = tv[bi][m]  # [T,3,3]
-            if len(verts) == 0:
+            c = counts[bi]
+            if c == 0:
                 mesh_layer.update_block(block_ijk[row], None)
                 continue
-            cols = tc[bi][m]
-            flat_v = verts.reshape(-1, 3)
-            normals = np.asarray(
-                mc.triangle_normals(jnp.asarray(verts))
-            )  # [T,3]
-            flat_n = np.repeat(normals, 3, axis=0)
-            flat_c = np.clip(cols.reshape(-1, 3), 0, 255).astype(np.uint8)
-            mesh_layer.update_block(
-                block_ijk[row],
-                BlockMesh(
-                    vertices=flat_v,
-                    normals=flat_n,
-                    colors=flat_c,
-                    indices=np.arange(len(flat_v), dtype=np.int32),
-                ),
-            )
+            sl = data[offs[bi]:offs[bi] + c]
+            verts = sl[:, :9].reshape(-1, 3, 3)
+            cw = sl[:, 9:12].view(np.uint32)
+            cols = np.stack(
+                [cw & 0xFF, (cw >> 8) & 0xFF, (cw >> 16) & 0xFF], axis=-1
+            ).astype(np.float32)  # [T,3,3]
+            _emit_block(mesh_layer, block_ijk[row], verts, cols)
 
     if clear_updated_flag:
         layer = vlayer.clear_dirty(layer, vlayer.DIRTY_MESH)

@@ -713,7 +713,7 @@ def _unpack_f16x2(x):
     return lo.astype(jnp.float32), hi.astype(jnp.float32)
 
 
-def _feat_image(img: RangeImage, trunc):
+def _feat_image(img: RangeImage, trunc, carving: bool = True):
     """Packed 5-channel per-pixel features (ONE gather serves all):
 
       [range, 3x3-min range, (du|dv f16x2), (r|g f16x2), (b|0 f16x2)]
@@ -723,7 +723,10 @@ def _feat_image(img: RangeImage, trunc):
     are exact or sub-quantization in f16, and packing them pairwise cuts
     the per-voxel gather from 8 to 5 elements — the mixed-slab gather is
     the single largest op of the integrate program (measured 0.47 ms/scan
-    at 2048 slabs).
+    at 2048 slabs; it is INDEX-RATE-bound at ~560M idx/s, so channel
+    count is the lever). With ``carving=False`` the 3x3-min channel
+    (which only drives the free-space carve) is dropped entirely:
+    4 channels (-20% gather elements on no-carve lidar configs).
 
     - the min-pooled channel drives the free-space (carving) decision:
       near silhouette edges the nearest pixel may look past the object
@@ -733,9 +736,11 @@ def _feat_image(img: RangeImage, trunc):
       (bilinear-quality on grazing surfaces, where range changes by more
       than trunc per pixel, without extra gather taps); gradients are
       zeroed across discontinuities (fall back to nearest)."""
-    rng_min = -jax.lax.reduce_window(
-        -img.rng, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
+    rng_min = None
+    if carving:
+        rng_min = -jax.lax.reduce_window(
+            -img.rng, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        )
     rpad = jnp.pad(img.rng, 1, constant_values=jnp.inf)
     d_up = rpad[1:-1, 2:] - img.rng
     d_um = img.rng - rpad[1:-1, :-2]
@@ -750,26 +755,26 @@ def _feat_image(img: RangeImage, trunc):
             jnp.where(ok_a, a, jnp.where(ok_b, b, 0.0)),
         )
 
-    # PLANAR [5, H*W] layout: the per-voxel gather then produces
-    # [5, S, 128] — clean (8,128)-tiled output and operand. The previous
+    # PLANAR [C, H*W] layout: the per-voxel gather then produces
+    # [C, S, 128] — clean (8,128)-tiled output and operand. The previous
     # [H*W, 8] rows padded 8 -> 128 lanes on BOTH the operand and the
     # [S, 128, 8] gather output, and XLA inserted a 0.18 ms/scan relayout
     # copy of the output (measured on the orbit trace).
-    return jnp.stack(
-        [
-            img.rng, rng_min,
-            _pack_f16x2(clamp_grad(d_up, d_um), clamp_grad(d_vp, d_vm)),
-            _pack_f16x2(img.color[..., 0], img.color[..., 1]),
-            _pack_f16x2(img.color[..., 2], jnp.zeros_like(img.rng)),
-        ],
-        axis=0,
-    ).reshape(5, -1)
+    chans = [img.rng]
+    if carving:
+        chans.append(rng_min)
+    chans += [
+        _pack_f16x2(clamp_grad(d_up, d_um), clamp_grad(d_vp, d_vm)),
+        _pack_f16x2(img.color[..., 0], img.color[..., 1]),
+        _pack_f16x2(img.color[..., 2], jnp.zeros_like(img.rng)),
+    ]
+    return jnp.stack(chans, axis=0).reshape(len(chans), -1)
 
 
 def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
                 max_visible_blocks: int, max_mixed_slabs: int,
                 feat=None, hiz=None, max_free_slabs=None,
-                allocate: bool = True):
+                allocate: bool = True, acc=None):
     """Allocate + classify + compute one scan's weighted-update deltas.
 
     Returns (layer, rows, row_ok, d6, overflowed): d6 is the
@@ -791,6 +796,12 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     must have allocated every block this scan can update beforehand (the
     scan-sharded path allocates all K scans replicated, then shards the
     accumulate phase, keeping the hash table identical on every device).
+
+    ``acc``: optional batch accumulator [mb * n_slabs, n_ch*slab_vox]
+    (_batch_acc_init) — contributions then scatter DIRECTLY into it at
+    pool-row addresses and the updated acc is returned in place of d6,
+    skipping the per-scan visible-set delta buffer entirely (its
+    zero-init + re-read measured ~2 ms/scan at lidar working-set sizes).
     """
     if hiz is None:
         hiz = _hiz_tables(_pix_eff(img, cfg))
@@ -881,7 +892,21 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     # accumulators measured ~30% slower: same row count but spread over
     # the 500+ MB pool extent.)
     n_ch = 6 if use_color else 2
-    d6 = jnp.zeros((n_all, n_ch * slab_vox), jnp.float32)
+    if acc is None:
+        d6 = jnp.zeros((n_all, n_ch * slab_vox), jnp.float32)
+        n_lim = n_all
+
+        def to_addr(ids, ok):
+            return jnp.where(ok, ids, n_lim)
+    else:
+        d6 = acc
+        n_lim = layer.max_blocks * n_slabs
+
+        def to_addr(ids, ok):
+            # Visible-set slab id -> pool-domain slab id.
+            b = jnp.where(ok, ids // n_slabs, 0)
+            return jnp.where(ok, safe_rows[b] * n_slabs + ids % n_slabs,
+                             n_lim)
 
     # ---- FREE slabs: carving update, no image access ----
     if cfg.voxel_carving_enabled:
@@ -902,7 +927,7 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
             wf = jnp.where(
                 inb_f, 1.0 / jnp.maximum(zf * zf, 1e-6)[:, None], 0.0
             )
-        waddr_f = jnp.where(free_ok, free_ids, n_all)
+        waddr_f = to_addr(free_ids, free_ok)
         vals_f = jnp.concatenate(
             [wf, trunc * wf]
             + [jnp.zeros_like(wf)] * (n_ch - 2),
@@ -923,25 +948,27 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     )
     flat_pix = jnp.where(inb_m, vi_m * w + ui_m, h * w)
 
+    carving = cfg.voxel_carving_enabled
     if feat is None:
-        feat = _feat_image(img, trunc)
-    # ONE row-gather serves all 5 channels. Measured alternatives: five
-    # single-channel gathers ([S,128] clean outputs) run 4x SLOWER — the
-    # TPU gather is index-rate-bound (~560M idx/s), not write-bound, so
-    # fewer indices x wider rows wins even though the [S*128, 5] output
-    # pads its lane dim 5 -> 128 and pays a planarizing copy.
+        feat = _feat_image(img, trunc, carving=carving)
+    # ONE row-gather serves all channels. Measured alternatives: per-
+    # channel gathers ([S,128] clean outputs) run 4x SLOWER — the TPU
+    # gather is index-rate-bound (~560M idx/s), not write-bound, so
+    # fewer indices x wider rows wins even though the [S*128, C] output
+    # pads its lane dim C -> 128 and pays a planarizing copy.
     g5 = jnp.take(feat, flat_pix, axis=1, mode="fill",
-                  fill_value=jnp.inf)  # [5, S, 128]
+                  fill_value=jnp.inf)  # [C, S, 128]
     r_nearest = g5[0]
-    r_min = g5[1]
+    base = 2 if carving else 1
+    r_min = g5[1] if carving else r_nearest
 
     def clean(x):  # out-of-image fill bits unpack to (0, inf): zero them
         return jnp.where(jnp.isfinite(x), x, 0.0)
 
-    du_p, dv_p = _unpack_f16x2(g5[2])
+    du_p, dv_p = _unpack_f16x2(g5[base])
     du, dv = clean(du_p), clean(dv_p)
-    c0_p, c1_p = _unpack_f16x2(g5[3])
-    c2_p, _ = _unpack_f16x2(g5[4])
+    c0_p, c1_p = _unpack_f16x2(g5[base + 1])
+    c2_p, _ = _unpack_f16x2(g5[base + 2])
     pix_color3 = (clean(c0_p), clean(c1_p), clean(c2_p))
     r_img = r_nearest + du * (u_m - ui_m) + dv * (v_m - vi_m)
 
@@ -997,7 +1024,7 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
         cw = jnp.where((w0 > 0) & (jnp.abs(sdf) < trunc) & has_surface,
                        w0, 0.0)
         planes += [cw] + [cw * pc for pc in pix_color3]
-    d6 = d6.at[slab_ids].add(
+    d6 = d6.at[to_addr(slab_ids, slab_valid)].add(
         jnp.concatenate(planes, -1), mode="drop", unique_indices=True
     )
 
@@ -1005,7 +1032,10 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     # [B, n_slabs, n_ch*slab_vox] — flat multiples of 128 lanes, no tile
     # padding (cube-shaped [B, v, v, v] intermediates pad 16 -> 128
     # lanes: 8x memory AND scatter bandwidth). Use _delta_plane to pull
-    # per-channel [.., vpb] planes.
+    # per-channel [.., vpb] planes. With ``acc`` the updated accumulator
+    # (pool-slab domain) is returned instead.
+    if acc is not None:
+        return layer, rows, row_ok, d6, overflowed
     return (
         layer, rows, row_ok,
         d6.reshape(B, n_slabs, n_ch * slab_vox),
@@ -1189,7 +1219,9 @@ def _delta_plane(d6, c, slab_vox):
 
 def _batch_acc_init(layer, use_color: bool):
     """Zero accumulator for a K-scan batch: ONE lane-concatenated buffer
-    [mb, n_slabs, n_ch*slab_vox] (see _scan_terms).
+    [mb * n_slabs, n_ch*slab_vox] in the POOL-slab domain (see
+    _scan_terms's ``acc`` mode — per-scan contributions scatter straight
+    into it; row mb*n_slabs-and-beyond is the drop target).
 
     lax.scan normalizes its carries to the default row-major layout, and
     a cube-shaped [mb, 16, 16, 16] carry tile-pads 16 -> 128 lanes (8x) —
@@ -1200,14 +1232,8 @@ def _batch_acc_init(layer, use_color: bool):
     """
     ys, n_yh, n_slabs, slab_vox = _slab_shape(layer.vps)
     n_ch = 6 if use_color else 2
-    return jnp.zeros((layer.max_blocks, n_slabs, n_ch * slab_vox),
+    return jnp.zeros((layer.max_blocks * n_slabs, n_ch * slab_vox),
                      jnp.float32)
-
-
-def _batch_acc_add(acc, rows, row_ok, d6, mb):
-    """Scatter one scan's visible-row deltas into the batch accumulator."""
-    write_rows = jnp.where(row_ok, rows, mb)
-    return acc.at[write_rows].add(d6, mode="drop", unique_indices=True)
 
 
 def _build_batch_images(points_C, colors, cfg, make_img):
@@ -1222,7 +1248,7 @@ def _build_batch_images(points_C, colors, cfg, make_img):
 
     def build_one(pts, cols):
         img = make_img(pts, cols)
-        feat = _feat_image(img, trunc)
+        feat = _feat_image(img, trunc, carving=cfg.voxel_carving_enabled)
         flat, meta, max_lvls = _hiz_tables(_pix_eff(img, cfg))
         return img.rng, img.color, img.params, feat, flat
 
@@ -1245,6 +1271,7 @@ def _fold_batch_acc(layer, geom, acc, cfg, use_color):
     vpb = layer.voxels_per_block
     _, _, _, slab_vox = _slab_shape(layer.vps)
     trunc = cfg.default_truncation_distance
+    acc = acc.reshape(mb, -1, acc.shape[-1])
     d_w = _delta_plane(acc, 0, slab_vox).reshape(mb, vpb)
     d_wd = _delta_plane(acc, 1, slab_vox).reshape(mb, vpb)
     ch = dict(layer.channels)
@@ -1310,18 +1337,31 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
      hiz_meta, hiz_max_lvls) = _build_batch_images(
         points_C, colors, cfg, make_img
     )
+    # Direct pool-domain contribution scatter skips the per-scan
+    # visible-set delta buffer (its zero-init + re-read), but loses
+    # scatter locality: measured -4% wall on a 16384-block pool and +4%
+    # on a 4096-block one — use it only where the delta buffer is big.
+    direct_acc = mb >= 8192
 
     def body(carry, scan):
         geom, acc, ovf = carry
         R, t, rng_i, col_i, par_i, feat_i, hflat_i = scan
         img = RangeImage(rng=rng_i, color=col_i, params=par_i, kind=kind)
         hiz = (hflat_i, hiz_meta, hiz_max_lvls)
-        geom, rows, row_ok, d6, o = _scan_terms(
+        geom, rows, row_ok, d_or_acc, o = _scan_terms(
             geom, R, t, img, cfg, use_color, max_visible_blocks,
             max_mixed_slabs, feat=feat_i, hiz=hiz,
             max_free_slabs=max_free_slabs,
+            acc=acc if direct_acc else None,
         )
-        acc = _batch_acc_add(acc, rows, row_ok, d6, mb)
+        if direct_acc:
+            acc = d_or_acc
+        else:
+            write_rows = jnp.where(row_ok, rows, mb)
+            n_slabs = d_or_acc.shape[1]
+            acc = acc.reshape(mb, n_slabs, -1).at[write_rows].add(
+                d_or_acc, mode="drop", unique_indices=True
+            ).reshape(acc.shape)
         return (geom, acc, ovf | o), None
 
     (geom, acc, overflowed), _ = jax.lax.scan(

@@ -232,6 +232,8 @@ def integrate_projective_batch_sharded(
     overflowed = jnp.any(ovfs)
 
     # Phase 2: sharded accumulate + psum merge.
+    direct_acc = mb >= 8192  # same locality trade as _integrate_batch
+
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -248,12 +250,20 @@ def integrate_projective_batch_sharded(
             img = proj.RangeImage(rng=rng_i, color=col_i, params=par_i,
                                   kind=img_kind)
             hiz = (hflat_i, hiz_meta, hiz_max_lvls)
-            _, rows, row_ok, d6, o = proj._scan_terms(
+            _, rows, row_ok, d_or_acc, o = proj._scan_terms(
                 geom, R, t, img, cfg, use_color, max_visible_blocks,
                 max_mixed_slabs, feat=feat_i, hiz=hiz,
                 max_free_slabs=max_free_slabs, allocate=False,
+                acc=acc if direct_acc else None,
             )
-            acc = proj._batch_acc_add(acc, rows, row_ok, d6, mb)
+            if direct_acc:
+                acc = d_or_acc
+            else:
+                write_rows = jnp.where(row_ok, rows, mb)
+                n_slabs = d_or_acc.shape[1]
+                acc = acc.reshape(mb, n_slabs, -1).at[write_rows].add(
+                    d_or_acc, mode="drop", unique_indices=True
+                ).reshape(acc.shape)
             return (acc, ovf | o), None
 
         (acc, ovf), _ = jax.lax.scan(
