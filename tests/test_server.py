@@ -179,3 +179,73 @@ def test_projective_server_method():
     srv.update_esdf()
     srv.update_mesh()
     assert srv.mesh_layer.num_vertices() > 0
+
+
+def test_deferred_overflow_recovery():
+    """overflow_check_interval > 1 defers the sweep working-set overflow
+    check; check_overflow must then rebuild the exact field via the
+    batch path (the deferred updates may have dropped rows)."""
+    import dataclasses
+
+    from voxblox_tpu.core.config import EsdfIntegratorConfig
+    from voxblox_tpu.ops import esdf as esdf_ops
+    from voxblox_tpu.utils import evaluation
+
+    w = _world()
+    objs = w.freeze()
+
+    def make(interval, max_active):
+        return EsdfServer(
+            map_config=MapConfig(voxel_size=0.2, max_blocks=1024),
+            integrator_config=TsdfIntegratorConfig(
+                default_truncation_distance=0.8, max_ray_length_m=10.0
+            ),
+            esdf_config=EsdfIntegratorConfig(
+                max_distance_m=1.0, default_distance_m=1.0,
+                min_distance_m=0.4, max_active_blocks=max_active,
+            ),
+            method="projective",
+            projective_resolution=(64, 48),
+            projective_fov_deg=60.0,
+            overflow_check_interval=interval,
+        )
+
+    def feed(srv, seed_bucket=None):
+        if seed_bucket is not None:
+            # Force an undersized working-set bucket so the deferred
+            # incremental updates overflow it (the cache normally sizes
+            # itself to the live map on first use).
+            key = (srv.esdf_layer.max_blocks, srv.esdf_layer.vps,
+                   srv.esdf_cfg.max_active_blocks)
+            esdf_ops._BUCKET_CACHE[key] = seed_bucket
+        ovf_seen = False
+        for i in range(3):
+            a = 2 * np.pi * i / 3
+            pos = jnp.asarray([4 * np.cos(a), 4 * np.sin(a), 2.0],
+                              jnp.float32)
+            view = jnp.asarray([-np.cos(a), -np.sin(a), 0.0], jnp.float32)
+            R = sw.rotation_from_two_vectors(jnp.asarray([0.0, 0.0, 1.0]),
+                                             view)
+            pts_G, colors, valid = sw.pointcloud_from_viewpoint(
+                objs, pos, view, (64, 48), np.deg2rad(60.0), 10.0
+            )
+            pts_C = sw.world_points_to_sensor((R, pos), pts_G, valid)
+            srv.insert_pointcloud((R, pos), pts_C, colors)
+            srv.update_esdf()
+        if srv._esdf_region_ovf is not None:
+            ovf_seen = bool(srv._esdf_region_ovf)
+        srv.check_overflow()
+        return srv, ovf_seen
+
+    # Undersized bucket: the deferred incremental updates overflow it,
+    # and check_overflow must restore the exact field via the batch path.
+    esdf_ops._BUCKET_CACHE.clear()
+    deferred, ovf_seen = feed(make(interval=8, max_active=512),
+                              seed_bucket=16)
+    assert ovf_seen, "test setup: deferred overflow never triggered"
+    esdf_ops._BUCKET_CACHE.clear()
+    ref, _ = feed(make(interval=1, max_active=512))
+    det = evaluation.evaluate_layers_rmse(ref.esdf_layer,
+                                          deferred.esdf_layer)
+    assert det.num_evaluated_voxels > 1000
+    assert det.rmse < 5e-3, str(det)

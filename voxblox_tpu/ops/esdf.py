@@ -905,11 +905,10 @@ def update_from_tsdf_incremental(
 
     Returns (esdf_layer, tsdf_layer, overflow, iters).
     """
-    dirty = vlayer.dirty_mask(tsdf_layer, vlayer.DIRTY_ESDF)
     run_cfg = _bucketed_cfg(cfg, esdf_layer, tsdf_layer)
     while True:
         out_e, out_t, overflow, region_ovf, iters = _incremental_jit(
-            esdf_layer, tsdf_layer, dirty, run_cfg
+            esdf_layer, tsdf_layer, run_cfg
         )
         if not bool(region_ovf):
             return out_e, out_t, overflow, iters
@@ -919,8 +918,35 @@ def update_from_tsdf_incremental(
         run_cfg = grown
 
 
+def update_from_tsdf_incremental_deferred(
+    esdf_layer, tsdf_layer, cfg: EsdfIntegratorConfig
+):
+    """update_from_tsdf_incremental WITHOUT the synchronous overflow
+    retry: returns (esdf_layer, tsdf_layer, overflow, region_ovf, iters)
+    with ``region_ovf`` as a DEVICE scalar the caller checks later
+    (every bool() readback is a full pipeline sync — ~25-70 ms through a
+    remote-TPU tunnel, per scan). If region_ovf turns out true, some
+    rows went unseeded/unswept and their dirty bits are already cleared:
+    recover by growing the bucket (grow_bucket_cache) and running
+    update_from_tsdf_batch, which rebuilds the exact field."""
+    run_cfg = _bucketed_cfg(cfg, esdf_layer, tsdf_layer)
+    return _incremental_jit(esdf_layer, tsdf_layer, run_cfg)
+
+
+def grow_bucket_cache(cfg: EsdfIntegratorConfig, esdf_layer):
+    """Double the cached sweep working-set bucket (deferred-overflow
+    recovery path)."""
+    run_cfg = _bucketed_cfg(
+        cfg, esdf_layer, esdf_layer
+    )
+    _grow_cfg(run_cfg, cfg, esdf_layer)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
-def _incremental_jit(esdf_layer, tsdf_layer, dirty_rows, cfg):
+def _incremental_jit(esdf_layer, tsdf_layer, cfg):
+    # Dirty-bit scan inside the program (an eager dirty_mask call costs a
+    # dispatch round trip per update through a remote-TPU path).
+    dirty_rows = vlayer.dirty_mask(tsdf_layer, vlayer.DIRTY_ESDF)
     esdf_layer, overflow = _sync_blocks(esdf_layer, tsdf_layer, dirty_rows)
     k = cfg.max_active_blocks
     seed_ovf = jnp.asarray(False)

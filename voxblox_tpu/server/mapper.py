@@ -62,6 +62,14 @@ class TsdfServer:
         projective_max_visible_blocks: int = 512,
         projective_max_mixed_slabs: Optional[int] = None,
         projective_max_free_slabs: Optional[int] = None,
+        # Pool-overflow detection cadence: 1 = synchronously after every
+        # scan (a device->host readback — a full pipeline sync, ~25-70 ms
+        # through a remote-TPU tunnel). Larger values accumulate the
+        # overflow flag on device and check every Nth scan, letting
+        # consecutive scans pipeline; overflow then raises up to N-1
+        # scans late (updates from overflowed scans are dropped, never
+        # corrupted).
+        overflow_check_interval: int = 1,
     ):
         self.map_config = map_config
         self.cfg = integrator_config
@@ -90,6 +98,8 @@ class TsdfServer:
         self.mesh_layer = mesh_ops.MeshLayer(self.layer.block_size)
         self.num_scans = 0
         self.icp_corrected = (jnp.eye(3), jnp.zeros(3))
+        self.overflow_check_interval = max(1, int(overflow_check_interval))
+        self._overflow_acc = None  # device-side accumulated overflow flag
 
     # -- input path (processPointCloudMessageAndInsert, :213-323) ----------
     def _pad(self, points, colors):
@@ -151,11 +161,12 @@ class TsdfServer:
                         state=self.fast_state,
                     )
                 )
-            jax.block_until_ready(self.layer.channels["tsdf"])
-        if bool(overflow):
-            raise MemoryError(
-                "block pool overflow; increase MapConfig.max_blocks"
-            )
+        self._overflow_acc = (
+            overflow if self._overflow_acc is None
+            else self._overflow_acc | overflow
+        )
+        if (self.num_scans + 1) % self.overflow_check_interval == 0:
+            self.check_overflow()
 
         if self.max_block_distance > 0.0:
             with timing.timer("remove_distant_blocks"):
@@ -167,6 +178,18 @@ class TsdfServer:
                 )
         self.num_scans += 1
         return T_G_C
+
+    def check_overflow(self):
+        """Synchronously verify no scan since the last check overflowed
+        the block pool (device->host readback; full pipeline sync)."""
+        if self._overflow_acc is None:
+            return
+        ovf = bool(self._overflow_acc)
+        self._overflow_acc = None
+        if ovf:
+            raise MemoryError(
+                "block pool overflow; increase MapConfig.max_blocks"
+            )
 
     # -- services (tsdf_server.cc:115-127, :580-618) ----------------------
     def update_mesh(self):
@@ -235,6 +258,7 @@ class EsdfServer(TsdfServer):
         super().__init__(map_config, integrator_config, **kw)
         self.esdf_cfg = esdf_config
         self.clear_sphere_for_planning = clear_sphere_for_planning
+        self._esdf_region_ovf = None
         self.esdf_layer = vlayer.make_layer(
             "esdf",
             map_config.voxel_size,
@@ -253,7 +277,30 @@ class EsdfServer(TsdfServer):
         return T
 
     def update_esdf(self):
-        """Incremental ESDF update (esdf_server.cc:192-197)."""
+        """Incremental ESDF update (esdf_server.cc:192-197).
+
+        With ``overflow_check_interval > 1`` the working-set overflow
+        flag accumulates on device and is resolved lazily by
+        ``check_overflow`` (a bool() readback per update is a full
+        pipeline sync); on a late-detected sweep overflow the field is
+        restored exactly by growing the bucket and re-running the batch
+        update. Returns the outer-iteration count (device scalar in
+        deferred mode)."""
+        if self.overflow_check_interval > 1:
+            with timing.timer("esdf/update_esdf"):
+                (self.esdf_layer, self.layer, overflow, region_ovf,
+                 iters) = esdf_ops.update_from_tsdf_incremental_deferred(
+                    self.esdf_layer, self.layer, self.esdf_cfg
+                )
+            self._overflow_acc = (
+                overflow if self._overflow_acc is None
+                else self._overflow_acc | overflow
+            )
+            self._esdf_region_ovf = (
+                region_ovf if self._esdf_region_ovf is None
+                else self._esdf_region_ovf | region_ovf
+            )
+            return iters
         with timing.timer("esdf/update_esdf"):
             self.esdf_layer, self.layer, overflow, iters = (
                 esdf_ops.update_from_tsdf_incremental(
@@ -264,6 +311,18 @@ class EsdfServer(TsdfServer):
         if bool(overflow):
             raise MemoryError("ESDF pool overflow")
         return int(iters)
+
+    def check_overflow(self):
+        super().check_overflow()
+        if getattr(self, "_esdf_region_ovf", None) is None:
+            return
+        ovf = bool(self._esdf_region_ovf)
+        self._esdf_region_ovf = None
+        if ovf:
+            # Some rows went unseeded/unswept and their dirty bits are
+            # gone: grow the bucket and rebuild the exact field.
+            esdf_ops.grow_bucket_cache(self.esdf_cfg, self.esdf_layer)
+            self.update_esdf_batch()
 
     def update_esdf_batch(self):
         with timing.timer("esdf/update_esdf_batch"):
