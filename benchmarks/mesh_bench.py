@@ -69,12 +69,6 @@ for i in range(3):
     layer, _ = projective.integrate_organized_projective(
         layer, (R, pos), p, c, cfg, intrinsics=intr, pool=2,
         max_visible_blocks=256,
-    ) if hasattr(projective, "integrate_organized_projective") else (
-        projective.integrate_organized_projective_batch(
-            layer, R[None], pos[None], p[None], c[None], cfg,
-            intrinsics=intr, pool=2, max_visible_blocks=256,
-            max_mixed_slabs=2048, max_free_slabs=512,
-        )
     )
     n_dirty = int(np.asarray(vlayer.dirty_mask(layer, vlayer.DIRTY_MESH)).sum())
     t0 = time.perf_counter()

@@ -152,3 +152,61 @@ def test_window_gather_span_fallback(rng):
     )
     in_win = np.asarray(in_win)
     assert in_win[0, 0] and not in_win[0, -1]
+
+
+def test_strided_sweeps_do_not_tunnel_unobserved_gaps():
+    """A stride-k jump must not cross unobserved voxels: with an
+    unobserved column separating the fixed band from the far side, the
+    far side is unreachable and must keep sign*default — jump-flooding
+    that only validated the jump ENDPOINT tunneled through and wrote
+    finite distances there (regression for the stride_ok gate)."""
+    import dataclasses as dc
+
+    import dataclasses
+    from voxblox_tpu.core import grid as vgrid
+    from voxblox_tpu.core import layer as vl
+
+    VOXEL = 0.1
+    layer = vl.make_layer("tsdf", VOXEL, vps=16, max_blocks=16)
+    layer, _ = vl.allocate_blocks(
+        layer, jnp.asarray([[0, 0, 0]]), jnp.ones(1, bool)
+    )
+    lin = jnp.arange(layer.voxels_per_block)
+    local = vgrid.linear_to_local(lin, 16)  # [.., 3] (x, y, z)
+    x = local[:, 0]
+    # Surface plane near x=2; unobserved wall at x in {6,7,8}.
+    tsdf = jnp.clip((x.astype(jnp.float32) - 2.0) * VOXEL, -0.4, 0.4)
+    w = jnp.where((x >= 6) & (x <= 8), 0.0, 1.0)
+    ch = dict(layer.channels)
+    active = layer.active_mask()[:, None]
+    ch["tsdf"] = jnp.where(
+        active, tsdf[None, :], 0.0
+    ).reshape(ch["tsdf"].shape)
+    ch["weight"] = jnp.where(
+        active, w[None, :], 0.0
+    ).reshape(ch["weight"].shape)
+    layer = dataclasses.replace(layer, channels=ch)
+
+    base = EsdfIntegratorConfig(
+        max_distance_m=2.0, default_distance_m=2.0, min_distance_m=0.2
+    )
+    outs = {}
+    for name, kw in {
+        "xla": {},
+        "strided": dict(use_pallas_kernel=True,
+                        sweep_strides=(8, 4, 2, 1), max_outer_sweeps=64),
+    }.items():
+        e = vl.make_layer("esdf", VOXEL, vps=16, max_blocks=16)
+        e, _, _ = esdf_ops.update_from_tsdf_batch(
+            e, layer, dc.replace(base, **kw)
+        )
+        outs[name] = np.asarray(e.channels["esdf"]).reshape(
+            -1, layer.voxels_per_block
+        )[0]
+    xs = np.asarray(local[:, 0])
+    far = xs >= 9  # beyond the unobserved wall: unreachable
+    assert np.all(outs["xla"][far] >= base.default_distance_m - 1e-5)
+    np.testing.assert_allclose(
+        outs["strided"], outs["xla"], atol=2e-3,
+        err_msg="strided sweep tunneled through the unobserved gap",
+    )

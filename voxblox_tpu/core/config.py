@@ -87,7 +87,11 @@ class EsdfIntegratorConfig:
     # inner_sweeps when set). Stride-k relaxations take k-voxel jumps of
     # cost k*step — valid chamfer paths, so values stay upper bounds of
     # the fixpoint — crossing a block in log passes instead of 16; the
-    # trailing 1s keep the exact fixpoint. E.g. (8, 4, 2, 1, 1).
+    # trailing 1s keep the exact fixpoint. Jumps only fire inside blocks
+    # whose padded cube is fully observed and sign-uniform (they would
+    # otherwise tunnel across unobserved pockets or surfaces and
+    # permanently under-estimate); elsewhere only the unit sweeps act.
+    # E.g. (8, 4, 2, 1).
     sweep_strides: Optional[tuple] = None
 
 

@@ -619,4 +619,7 @@ def run_rosbag(
         server.update_esdf()
     if update_mesh_every and stats["integrated"] % update_mesh_every:
         server.update_mesh()
+    # Resolve any overflow deferred by overflow_check_interval > 1 before
+    # the caller reads/saves the map (nothing later would check it).
+    server.check_overflow()
     return stats

@@ -144,36 +144,13 @@ def _sync_blocks(esdf_layer, tsdf_layer, rows_mask):
     return esdf_layer, overflow
 
 
-def seed_from_tsdf(
-    esdf_layer: vlayer.VoxelLayer,
-    tsdf_layer: vlayer.VoxelLayer,
-    cfg: EsdfIntegratorConfig,
-    tsdf_rows_mask,
-):
-    """Propagate-pass (cc:124-302) over the selected TSDF rows.
+def _propagate_classify(t_d, t_w, e_d, e_f, row_mask, cfg):
+    """The propagate-pass voxel classification (cc:124-302), shared by
+    the full-pool and compacted seeding paths. Rows (t/e arrays
+    [N, vpb]) where ``row_mask`` is False are left untouched.
 
-    Returns (esdf_layer, changed_rows bool[max_blocks_esdf]) where
-    changed_rows flags ESDF rows whose fixed band moved (drives the
-    raise-region reset).
-    """
-    v = esdf_layer.vps
-    vpb = esdf_layer.voxels_per_block
-    mbe = esdf_layer.max_blocks
-
-    # Map esdf rows -> tsdf rows for the selected set.
-    tsdf_slot_of_esdf = vlayer.lookup_blocks(tsdf_layer, esdf_layer.block_ijk)
-    sel_t = tsdf_rows_mask.at[
-        jnp.where(tsdf_slot_of_esdf >= 0, tsdf_slot_of_esdf, 0)
-    ].get()
-    sel = esdf_layer.active_mask() & (tsdf_slot_of_esdf >= 0) & sel_t
-    safe_t = jnp.where(sel, tsdf_slot_of_esdf, 0)
-
-    t_d = tsdf_layer.channels["tsdf"].reshape(-1, vpb)[safe_t]
-    t_w = tsdf_layer.channels["weight"].reshape(-1, vpb)[safe_t]
-    e_d = esdf_layer.channels["esdf"].reshape(mbe, vpb)
-    e_f = esdf_layer.channels["esdf_flags"].reshape(mbe, vpb)
-
-    observed_t = (t_w >= cfg.min_weight) & sel[:, None]
+    Returns (out_d, out_f, update, raised)."""
+    observed_t = (t_w >= cfg.min_weight) & row_mask[:, None]
     tsdf_fixed = observed_t & (jnp.abs(t_d) < cfg.min_distance_m)
     sgn = jnp.where(t_d >= 0.0, 1.0, -1.0)  # signum with 0 -> +
     seed_d = jnp.where(tsdf_fixed, t_d, sgn * cfg.default_distance_m)
@@ -215,6 +192,41 @@ def seed_from_tsdf(
         new_flags,  # observed voxels: flags fully re-derived from TSDF
         e_f,
     ).astype(jnp.uint8)
+    return out_d, out_f, update, raised
+
+
+def seed_from_tsdf(
+    esdf_layer: vlayer.VoxelLayer,
+    tsdf_layer: vlayer.VoxelLayer,
+    cfg: EsdfIntegratorConfig,
+    tsdf_rows_mask,
+):
+    """Propagate-pass (cc:124-302) over the selected TSDF rows.
+
+    Returns (esdf_layer, changed_rows bool[max_blocks_esdf]) where
+    changed_rows flags ESDF rows whose fixed band moved (drives the
+    raise-region reset).
+    """
+    v = esdf_layer.vps
+    vpb = esdf_layer.voxels_per_block
+    mbe = esdf_layer.max_blocks
+
+    # Map esdf rows -> tsdf rows for the selected set.
+    tsdf_slot_of_esdf = vlayer.lookup_blocks(tsdf_layer, esdf_layer.block_ijk)
+    sel_t = tsdf_rows_mask.at[
+        jnp.where(tsdf_slot_of_esdf >= 0, tsdf_slot_of_esdf, 0)
+    ].get()
+    sel = esdf_layer.active_mask() & (tsdf_slot_of_esdf >= 0) & sel_t
+    safe_t = jnp.where(sel, tsdf_slot_of_esdf, 0)
+
+    t_d = tsdf_layer.channels["tsdf"].reshape(-1, vpb)[safe_t]
+    t_w = tsdf_layer.channels["weight"].reshape(-1, vpb)[safe_t]
+    e_d = esdf_layer.channels["esdf"].reshape(mbe, vpb)
+    e_f = esdf_layer.channels["esdf_flags"].reshape(mbe, vpb)
+
+    out_d, out_f, update, raised = _propagate_classify(
+        t_d, t_w, e_d, e_f, sel, cfg
+    )
 
     changed = jnp.any(update | (jnp.abs(out_d - e_d) > cfg.min_diff_m), axis=1)
     raised_rows = jnp.any(raised, axis=1)
@@ -262,34 +274,9 @@ def _seed_compact(esdf_layer, tsdf_layer, cfg, tsdf_rows_mask, k: int):
     e_d = esdf_layer.channels["esdf"].reshape(mbe, vpb)[safe]
     e_f = esdf_layer.channels["esdf_flags"].reshape(mbe, vpb)[safe]
 
-    observed_t = (t_w >= cfg.min_weight) & ok[:, None]
-    tsdf_fixed = observed_t & (jnp.abs(t_d) < cfg.min_distance_m)
-    sgn = jnp.where(t_d >= 0.0, 1.0, -1.0)
-    seed_d = jnp.where(tsdf_fixed, t_d, sgn * cfg.default_distance_m)
-
-    was_obs = (e_f & OBS) != 0
-    was_fixed = (e_f & FIX) != 0
-    was_hall = (e_f & HALL) != 0
-    new_voxel = observed_t & (~was_obs | was_hall)
-    exist = observed_t & was_obs & ~was_hall
-    either_fixed = tsdf_fixed | was_fixed
-    unfix = exist & either_fixed & ~tsdf_fixed
-    lower = exist & either_fixed & tsdf_fixed & (
-        ((e_d > 0.0) & (t_d + cfg.min_diff_m < e_d))
-        | ((e_d <= 0.0) & (t_d - cfg.min_diff_m > e_d))
+    out_d, out_f, update, raised = _propagate_classify(
+        t_d, t_w, e_d, e_f, ok, cfg
     )
-    raise_ = exist & either_fixed & tsdf_fixed & (
-        ((e_d > 0.0) & (t_d - cfg.min_diff_m > e_d))
-        | ((e_d <= 0.0) & (t_d + cfg.min_diff_m < e_d))
-    )
-    flip = exist & ~either_fixed & (jnp.sign(t_d) != jnp.sign(e_d))
-    update = new_voxel | unfix | lower | raise_ | flip
-    out_d = jnp.where(update, seed_d, e_d)
-    raised = unfix | raise_ | (flip & (t_d >= e_d))
-    new_flags = (
-        OBS | jnp.where(tsdf_fixed, FIX, np.uint8(0)).astype(jnp.uint8)
-    )
-    out_f = jnp.where(observed_t, new_flags, e_f).astype(jnp.uint8)
 
     wr = jnp.where(ok, rows, mbe)
     ch = dict(esdf_layer.channels)
@@ -571,6 +558,13 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
             [nbr, jnp.full((bt - n_rows, 27), -1, nbr.dtype)], axis=0
         ) if bt > n_rows else nbr
         d20 = _pk.to_2d(_padded(view, d, nbr, jnp.float32(0.0)))
+        # Strided-jump soundness gate: observedness and voxel signs are
+        # static across sweeps, so compute once from the seeded state.
+        sok = (
+            _pk.stride_ok_2d(d20, o2)
+            if cfg.sweep_strides and any(k > 1 for k in cfg.sweep_strides)
+            else None
+        )
 
         def outer_cond2(state):
             d2, changed, it = state
@@ -582,6 +576,7 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
                 d2, o2, u2, cfg.inner_sweeps, esdf_layer.voxel_size,
                 cfg.max_distance_m, cfg.min_diff_m,
                 interpret=pallas_interpret, strides=cfg.sweep_strides,
+                stride_ok=sok,
             )
             changed = jnp.any(jnp.abs(d2a - d2) > cfg.min_diff_m)
             d2b = _halo_exchange_2d(d2a, nbr_pad, bt)

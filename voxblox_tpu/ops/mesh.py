@@ -155,8 +155,10 @@ def weld_vertices(vertices, normals, colors, tol: float = 1e-6):
 def _march_rows(layer: vlayer.VoxelLayer, rows, min_weight: float,
                 use_color: bool):
     """Dense (uncompacted) outputs — the fallback when the packed path's
-    triangle budget overflows. Returns (tri_verts, tri_mask, tri_colors,
-    tri_normals) over all cubes."""
+    triangle budget overflows. Returns (tri_verts, tri_mask, tri_colors)
+    over all cubes (normals are host-side numpy: transferring a
+    [B, C, 5, 3] device buffer only to recompute from vertices wastes
+    ~16 MB per batch through the tunnel)."""
     tri_verts, tri_mask, corner_pos, corner_color = _march_core(
         layer, rows, min_weight, use_color
     )
@@ -176,12 +178,7 @@ def _march_rows(layer: vlayer.VoxelLayer, rows, min_weight: float,
         )[..., 0, :]
     else:
         tri_colors = jnp.zeros(tri_verts.shape, jnp.float32)
-    # Flat normals computed HERE, batched: a per-block host-side
-    # triangle_normals call has a data-dependent shape, so it recompiled
-    # and round-tripped the remote TPU per block (measured SECONDS per
-    # scan through the tunnel).
-    tri_normals = mc.triangle_normals(tri_verts)  # [B, C, 5, 3]
-    return tri_verts, tri_mask, tri_colors, tri_normals
+    return tri_verts, tri_mask, tri_colors
 
 
 def _march_core(layer: vlayer.VoxelLayer, rows, min_weight: float,
@@ -390,11 +387,10 @@ def generate_mesh(
         )
         if bool(overflow):
             # Dense-geometry fallback: the uncompacted (large) transfer.
-            tv, tm, tc, tn = _march_rows(
+            tv, tm, tc = _march_rows(
                 layer, jnp.asarray(pad), cfg.min_weight, use_color
             )
-            tv, tm, tc, tn = (np.asarray(tv), np.asarray(tm),
-                              np.asarray(tc), np.asarray(tn))
+            tv, tm, tc = (np.asarray(tv), np.asarray(tm), np.asarray(tc))
             for bi, row in enumerate(chunk):
                 m = tm[bi]
                 verts = tv[bi][m]

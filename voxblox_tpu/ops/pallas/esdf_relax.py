@@ -67,23 +67,37 @@ def _relax_kernel(strides: tuple, voxel_size: float, max_distance: float,
     of 26).
 
     ``strides``: one relaxation per entry, at that step multiple — a
-    stride-k step of cost k*unit is a valid chamfer path, so strided
-    sweeps stay UPPER bounds of the fixpoint while crossing a 16-voxel
-    block in log passes instead of 16 (jump-flooding-style warm start;
-    the trailing stride-1 sweeps keep the exact quasi-euclidean
-    fixpoint). Strided reads need explicit in-block validity masks
-    (cheap separable row x lane constants); the sign-flip rule runs only
-    at stride 1 (it caps |d| at the INTERFACE step length).
+    stride-k jump decomposes into k unit steps of the same direction
+    (cost k*unit), so it is a valid chamfer path and strided sweeps stay
+    UPPER bounds of the fixpoint while crossing a 16-voxel block in log
+    passes instead of 16 (jump-flooding-style warm start; the trailing
+    stride-1 sweeps keep the exact fixpoint). SOUNDNESS: the decomposed
+    path's k-1 INTERMEDIATE voxels must be traversable (observed, same
+    sign) or the jump would tunnel through unobserved pockets / across
+    surfaces and permanently UNDER-estimate (monotone relaxation cannot
+    raise values back). Jumps are therefore gated per block by
+    ``stride_ok`` — the block's full 18^3 padded cube (ring included) is
+    entirely observed and sign-uniform, which covers every jump ending
+    in the cube since observedness and signs are static across sweeps.
+    Strided reads also need in-block validity masks (iota-derived); the
+    sign-flip rule runs only at stride 1 (it caps |d| at the INTERFACE
+    step length).
     """
+    strided = any(k > 1 for k in strides)
 
-    def kernel(d_ref, obs_ref, upd_ref, out_ref):
+    def kernel(*refs):
+        if strided:
+            d_ref, obs_ref, upd_ref, sok_ref, out_ref = refs
+            stride_ok = sok_ref[:] > 0.5
+        else:
+            d_ref, obs_ref, upd_ref, out_ref = refs
         d = d_ref[:]
         obs = obs_ref[:] > 0.5
         upd = upd_ref[:] > 0.5
         rows = d.shape[0]
         # In-block coordinate fields for strided-read masks (Pallas can't
         # capture array constants; iota-derived, computed once per call).
-        if any(k > 1 for k in strides):
+        if strided:
             col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE_PAD), 1)
             lane_x = col % P
             lane_y = col // P
@@ -136,10 +150,13 @@ def _relax_kernel(strides: tuple, voxel_size: float, max_distance: float,
                         ndp = pltpu.roll(ndp, ls, 1)
                         ndn = pltpu.roll(ndn, ls, 1)
                     if k > 1:
-                        # Strided reads can leave the 18^3 block: mask
-                        # by in-block validity of the source coordinate.
+                        # Strided reads can leave the 18^3 block (mask
+                        # by in-block validity of the source coordinate)
+                        # and must only fire in fully-observed
+                        # sign-uniform blocks (see docstring).
                         m = (
-                            (lane_x + k * dx >= 0)
+                            stride_ok
+                            & (lane_x + k * dx >= 0)
                             & (lane_x + k * dx <= P - 1)
                             & (lane_y + k * dy >= 0)
                             & (lane_y + k * dy <= P - 1)
@@ -195,37 +212,73 @@ def from_2d(x2, b: int):
     return x2[: b * P, : P * P].reshape(-1, P, P, P)[:b]
 
 
+def stride_ok_2d(d2, o2, block_tile: int = 8):
+    """Per-block strided-jump gate in kernel layout (see _relax_kernel):
+    1.0 on every row/lane of a block whose INTERIOR 16^3 is entirely
+    observed AND sign-uniform. Only the interior matters: a jump's k-1
+    intermediate voxels lie strictly between an interior center and the
+    source, hence are always interior; ring-cell ENDPOINTS are already
+    guarded by the +-BIG source packing. (Requiring the ring too
+    disabled jumps in nearly every block of a shell-shaped active set —
+    any block with a missing neighbor — and regressed the batch sweep to
+    one effective unit sweep per exchange.) Observedness and signs are
+    static across sweeps, so compute once per update from the seeded
+    state."""
+    rows = d2.shape[0]
+    bt = rows // P
+    lane = np.arange(LANE_PAD)
+    lx = lane % P
+    ly = lane // P
+    z = np.arange(P)
+    interior = (
+        ((z >= 1) & (z <= P - 2))[:, None]
+        & ((lx >= 1) & (lx <= P - 2) & (ly >= 1) & (ly <= P - 2))[None, :]
+    )  # [P, LANE_PAD]
+    m3 = jnp.asarray(interior[None])
+    o3 = (o2 > 0.5).reshape(bt, P, LANE_PAD)
+    obs_b = jnp.all(jnp.where(m3, o3, True), axis=(1, 2))
+    pos3 = (d2 > 0.0).reshape(bt, P, LANE_PAD)
+    uniform = (
+        jnp.all(jnp.where(m3, pos3, True), axis=(1, 2))
+        | jnp.all(jnp.where(m3, ~pos3, True), axis=(1, 2))
+    )
+    ok = (obs_b & uniform).astype(jnp.float32)
+    return jnp.broadcast_to(
+        jnp.repeat(ok, P)[:, None], (rows, LANE_PAD)
+    )
+
+
 def relax_2d(d2, o2, u2, inner_sweeps: int, voxel_size: float,
              max_distance: float, min_diff: float,
              interpret: bool = False, block_tile: int = 8,
-             strides=None):
+             strides=None, stride_ok=None):
     """Run relaxations directly on kernel-layout state ([BT*18, LANE_PAD]
     from ``to_2d``) — callers that keep the sweep state 2D across outer
     iterations skip the per-call cube<->2D relayouts (~5 ms per call at
     512 blocks). ``strides``: per-relaxation step multiples (default
-    ``(1,) * inner_sweeps``); see _relax_kernel."""
+    ``(1,) * inner_sweeps``); strided schedules REQUIRE ``stride_ok``
+    (stride_ok_2d) — the per-block jump-soundness gate."""
     strides = tuple(strides) if strides else (1,) * inner_sweeps
+    strided = any(k > 1 for k in strides)
+    if strided and stride_ok is None:
+        raise ValueError("strided schedules require stride_ok "
+                         "(see stride_ok_2d)")
     rows = d2.shape[0]
     bt = rows // P
     kern = _relax_kernel(strides, voxel_size, max_distance, min_diff)
     rows_tile = block_tile * P
     grid = (bt // block_tile,)
+    spec = pl.BlockSpec((rows_tile, LANE_PAD), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    args = (d2, o2, u2) + ((stride_ok,) if strided else ())
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((rows, LANE_PAD), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((rows_tile, LANE_PAD), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_tile, LANE_PAD), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_tile, LANE_PAD), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((rows_tile, LANE_PAD), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[spec] * len(args),
+        out_specs=spec,
         interpret=interpret,
-    )(d2, o2, u2)
+    )(*args)
 
 
 @partial(
@@ -246,10 +299,15 @@ def relax_padded(d_pad, obs_pad, upd_pad, inner_sweeps: int,
     Returns the updated padded array (only interior cells change).
     """
     b = d_pad.shape[0]
+    d2 = to_2d(d_pad, block_tile)
+    o2 = to_2d(obs_pad, block_tile)
+    sok = (
+        stride_ok_2d(d2, o2, block_tile)
+        if strides and any(k > 1 for k in strides) else None
+    )
     out = relax_2d(
-        to_2d(d_pad, block_tile), to_2d(obs_pad, block_tile),
-        to_2d(upd_pad, block_tile), inner_sweeps, voxel_size,
+        d2, o2, to_2d(upd_pad, block_tile), inner_sweeps, voxel_size,
         max_distance, min_diff, interpret=interpret, block_tile=block_tile,
-        strides=strides,
+        strides=strides, stride_ok=sok,
     )
     return from_2d(out, b)

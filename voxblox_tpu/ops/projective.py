@@ -771,6 +771,31 @@ def _feat_image(img: RangeImage, trunc, carving: bool = True):
     return jnp.stack(chans, axis=0).reshape(len(chans), -1)
 
 
+def _discover_and_allocate(layer, img, R, t, cfg, hiz,
+                           max_visible_blocks: int, allocate: bool):
+    """Candidate-block discovery, compaction and (optional) allocation
+    for one scan. Returns (layer, cand, c_ok, overflowed).
+
+    Compacts the (frustum+HiZ-culled) candidates before touching the
+    hash table: the local grid is ~15^3 blocks but only the visible ~1/6
+    pass the mask, and allocate's discovery rounds re-probe every input.
+
+    The scan-sharded path's replicated allocation phase calls this with
+    the same arguments so every device replays the EXACT allocation
+    sequence of the unsharded batch (tests assert block_ijk equality)."""
+    cand, ok = _candidate_blocks(layer, img, R, t, cfg, hiz=hiz)
+    n_cand = cand.shape[0]
+    max_cand = min(2 * max_visible_blocks, n_cand)
+    cidx = jnp.nonzero(ok, size=max_cand, fill_value=n_cand)[0]
+    c_ok = cidx < n_cand
+    cand = cand[jnp.where(c_ok, cidx, 0)]
+    overflowed = jnp.sum(ok) > max_cand
+    if allocate:
+        layer, alloc_ovf = vlayer.allocate_blocks(layer, cand, c_ok)
+        overflowed |= alloc_ovf
+    return layer, cand, c_ok, overflowed
+
+
 def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
                 max_visible_blocks: int, max_mixed_slabs: int,
                 feat=None, hiz=None, max_free_slabs=None,
@@ -805,19 +830,9 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     """
     if hiz is None:
         hiz = _hiz_tables(_pix_eff(img, cfg))
-    cand, ok = _candidate_blocks(layer, img, R, t, cfg, hiz=hiz)
-    # Compact the (frustum+HiZ-culled) candidates before touching the hash
-    # table: the local grid is ~15^3 blocks but only the visible ~1/6 pass
-    # the mask, and allocate's discovery rounds re-probe every input.
-    n_cand = cand.shape[0]
-    max_cand = min(2 * max_visible_blocks, n_cand)
-    cidx = jnp.nonzero(ok, size=max_cand, fill_value=n_cand)[0]
-    c_ok = cidx < n_cand
-    cand = cand[jnp.where(c_ok, cidx, 0)]
-    overflowed = jnp.sum(ok) > max_cand
-    if allocate:
-        layer, alloc_ovf = vlayer.allocate_blocks(layer, cand, c_ok)
-        overflowed |= alloc_ovf
+    layer, cand, c_ok, overflowed = _discover_and_allocate(
+        layer, img, R, t, cfg, hiz, max_visible_blocks, allocate
+    )
 
     slots = vlayer.lookup_blocks(layer, cand)
     sel = jnp.where(c_ok, slots, -1)

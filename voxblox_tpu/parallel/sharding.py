@@ -216,15 +216,12 @@ def integrate_projective_batch_sharded(
         img = proj.RangeImage(rng=rng_i, color=col_i, params=par_i,
                               kind=img_kind)
         hiz = (hflat_i, hiz_meta, hiz_max_lvls)
-        cand, ok = proj._candidate_blocks(g, img, R, t, cfg, hiz=hiz)
-        n_cand = cand.shape[0]
-        max_cand = min(2 * max_visible_blocks, n_cand)
-        cidx = jnp.nonzero(ok, size=max_cand, fill_value=n_cand)[0]
-        c_ok = cidx < n_cand
-        cand = cand[jnp.where(c_ok, cidx, 0)]
-        ovf = jnp.sum(ok) > max_cand
-        g, alloc_ovf = vlayer.allocate_blocks(g, cand, c_ok)
-        return g, ovf | alloc_ovf
+        # The shared helper guarantees the allocation sequence replayed
+        # here is bit-identical to the unsharded batch's.
+        g, _, _, ovf = proj._discover_and_allocate(
+            g, img, R, t, cfg, hiz, max_visible_blocks, allocate=True
+        )
+        return g, ovf
 
     geom, ovfs = jax.lax.scan(
         alloc_body, geom, (Rs, ts, rngs, colors_i, params_i, hiz_flats)

@@ -211,6 +211,8 @@ class TsdfServer:
         return self.mesh_layer
 
     def save_map(self, path: str):
+        # Resolve any deferred overflow before persisting the map.
+        self.check_overflow()
         if path.endswith(".npz"):
             npz_io.save_npz(self.layer, path)
         else:
@@ -336,6 +338,8 @@ class EsdfServer(TsdfServer):
 
     def save_map(self, path: str):
         """TSDF + ESDF appended in one file (esdf_server.cc:172-190)."""
+        # Resolve any deferred overflow before persisting the map.
+        self.check_overflow()
         if path.endswith(".npz"):
             npz_io.save_npz(self.layer, path)
             npz_io.save_npz(self.esdf_layer, path + ".esdf.npz")
