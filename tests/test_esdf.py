@@ -302,3 +302,66 @@ def test_esdf_bucketed_working_set_matches_uncompacted():
             np.asarray(out.channels["esdf"][so]),
             atol=1e-5,
         )
+
+
+def test_add_occupied_crust():
+    """Batch seeding with add_occupied_crust (esdf_integrator.cc:155-163):
+    unobserved voxels of processed blocks become hallucinated occupied
+    (-default), the unknown boundary acts as a surface (free-space
+    distances cap at the distance to it), and negative distances
+    propagate into the crust."""
+    import dataclasses
+
+    # Plane z=0 observed only in a slab |z| < 0.42 (voxel centers up to
+    # z=0.35): above the slab the map is unobserved.
+    tsdf_layer = _plane_tsdf_layer()
+    vpb = tsdf_layer.voxels_per_block
+    lin = jnp.arange(vpb)
+    local = grid.linear_to_local(lin, tsdf_layer.vps)
+    gvi = tsdf_layer.block_ijk[:, None, :] * tsdf_layer.vps + local[None]
+    z = grid.grid_index_to_center_point(gvi, VOXEL)[..., 2]
+    ch = dict(tsdf_layer.channels)
+    shape = ch["weight"].shape
+    ch["weight"] = jnp.where(
+        jnp.abs(z) < 0.42, ch["weight"].reshape(z.shape), 0.0
+    ).reshape(shape)
+    tsdf_layer = dataclasses.replace(tsdf_layer, channels=ch)
+
+    cfg = EsdfIntegratorConfig(
+        max_distance_m=2.0, default_distance_m=2.0, min_distance_m=0.2,
+    )
+    outs = {}
+    for name, crust in (("plain", False), ("crust", True)):
+        e = vlayer.make_layer("esdf", VOXEL, vps=8, max_blocks=512)
+        e, ovf, _ = esdf.update_from_tsdf_batch(
+            e, tsdf_layer, dataclasses.replace(cfg, add_occupied_crust=crust)
+        )
+        assert not bool(ovf)
+        outs[name] = e
+
+    zs = np.arange(1, 12) * VOXEL + VOXEL / 2  # positive side only
+    pts = np.stack([np.full_like(zs, 0.41), np.full_like(zs, 0.41), zs], -1)
+    gvi_q = grid.point_to_grid_index(jnp.asarray(pts, jnp.float32), 1.0 / VOXEL)
+    got_p, _ = vlayer.get_voxels(outs["plain"], "esdf", gvi_q)
+    got_c, _ = vlayer.get_voxels(outs["crust"], "esdf", gvi_q)
+    flag_c, _ = vlayer.get_voxels(outs["crust"], "esdf_flags", gvi_q)
+    got_p, got_c = np.asarray(got_p), np.asarray(got_c)
+    flag_c = np.asarray(flag_c)
+
+    obs_band = zs <= 0.40
+    # Plain: observed voxels read the plane distance, unobserved stay
+    # unobserved (flags 0 there).
+    np.testing.assert_allclose(got_p[obs_band], zs[obs_band], atol=0.01)
+    # Crust: unobserved voxels are hallucinated occupied (negative).
+    assert np.all(got_c[~obs_band] < 0.0)
+    assert np.all(flag_c[~obs_band].astype(int)
+                  & int(vlayer.ESDF_HALLUCINATED))
+    # Observed free-space voxels now see a surface BELOW (plane) and
+    # ABOVE (crust boundary at z=0.45, the first unobserved center):
+    # distance <= min(z, dist to crust) + a diagonal step of slack.
+    want = np.minimum(zs[obs_band], 0.45 - zs[obs_band])
+    assert np.all(got_c[obs_band] <= want + np.sqrt(3) * VOXEL + 1e-5)
+    # And the crust must NOT corrupt distances below the plane or the
+    # fixed band: fixed-band values identical.
+    fix_q = np.abs(zs) < 0.2
+    np.testing.assert_allclose(got_c[fix_q], got_p[fix_q], atol=1e-6)

@@ -126,12 +126,12 @@ def test_window_gather_interpret(rng):
     )
     assert bool(jnp.all(in_win == jnp.asarray(valid)))
     out = wg.window_gather(windows, vb, ub, vloc, uloc, interpret=True)
-    out = np.asarray(out)
+    out = np.asarray(out)  # [G, C, 128] planar
     for g in range(G):
         for l in range(128):
             if valid[g, l]:
                 np.testing.assert_allclose(
-                    out[g, l], img[vi[g, l], ui[g, l]], rtol=1e-6,
+                    out[g, :, l], img[vi[g, l], ui[g, l]], rtol=1e-6,
                     err_msg=f"group {g} lane {l}",
                 )
 
@@ -209,4 +209,63 @@ def test_strided_sweeps_do_not_tunnel_unobserved_gaps():
     np.testing.assert_allclose(
         outs["strided"], outs["xla"], atol=2e-3,
         err_msg="strided sweep tunneled through the unobserved gap",
+    )
+
+
+def test_strided_sweeps_match_on_partially_observed_blocks(rng):
+    """Carved-map regression for the per-voxel stride gate: random
+    unobserved pockets across a multi-block map (every block partially
+    observed — the old per-block gate disabled ALL jumps here) must
+    still reach the unit-schedule fixpoint exactly: jumps fire only
+    where the erosion codes prove the Chebyshev ball traversable, so
+    no jump tunnels through a pocket, and trailing stride-1 sweeps
+    finish the fixpoint."""
+    import dataclasses as dc
+
+    import dataclasses
+    from voxblox_tpu.core import grid as vgrid
+    from voxblox_tpu.core import layer as vl
+    from voxblox_tpu.utils import evaluation
+
+    VOXEL = 0.1
+    layer = vl.make_layer("tsdf", VOXEL, vps=16, max_blocks=16)
+    blocks = np.stack(
+        np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"), -1
+    ).reshape(-1, 3).astype(np.int32)
+    layer, _ = vl.allocate_blocks(
+        layer, jnp.asarray(blocks), jnp.ones(len(blocks), bool)
+    )
+    lin = jnp.arange(layer.voxels_per_block)
+    local = vgrid.linear_to_local(lin, 16)
+    gvi = layer.block_ijk[:, None, :] * 16 + local[None]
+    z = vgrid.grid_index_to_center_point(gvi, VOXEL)[..., 2]
+    tsdf = jnp.clip(z - 0.35, -0.4, 0.4)
+    # ~15% unobserved pockets, everywhere (crosses block borders too).
+    w = (rng.uniform(size=tsdf.shape) > 0.15).astype(np.float32)
+    ch = dict(layer.channels)
+    active = layer.active_mask()[:, None]
+    ch["tsdf"] = jnp.where(active, tsdf, 0.0).reshape(ch["tsdf"].shape)
+    ch["weight"] = jnp.where(
+        active, jnp.asarray(w), 0.0
+    ).reshape(ch["weight"].shape)
+    layer = dataclasses.replace(layer, channels=ch)
+
+    base = EsdfIntegratorConfig(
+        max_distance_m=2.0, default_distance_m=2.0, min_distance_m=0.2
+    )
+    from voxblox_tpu.core import layer as _vl
+    e1 = _vl.make_layer("esdf", VOXEL, vps=16, max_blocks=16)
+    e1, _, _ = esdf_ops.update_from_tsdf_batch(e1, layer, base)
+    e3 = _vl.make_layer("esdf", VOXEL, vps=16, max_blocks=16)
+    e3, _, _ = esdf_ops.update_from_tsdf_batch(
+        e3, layer,
+        dc.replace(base, use_pallas_kernel=True,
+                   sweep_strides=(8, 4, 2, 1), max_outer_sweeps=64),
+    )
+    a = np.asarray(e1.channels["esdf"])
+    b = np.asarray(e3.channels["esdf"])
+    act = np.asarray(layer.active_mask())
+    np.testing.assert_allclose(
+        b[act], a[act], atol=2e-3,
+        err_msg="per-voxel-gated strided sweep diverged on a carved map",
     )

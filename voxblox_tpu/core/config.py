@@ -67,6 +67,9 @@ class EsdfIntegratorConfig:
     min_weight: float = 1e-6
     num_buckets: int = 20  # kept for config parity; sweeps don't use it
     multi_queue: bool = False
+    # Batch mode: seed unobserved voxels of processed blocks as
+    # hallucinated occupied (-default_distance_m) so unknown space acts
+    # as an obstacle (esdf_integrator.cc:155-163).
     add_occupied_crust: bool = False
     clear_sphere_radius: float = 1.5
     occupied_sphere_radius: float = 5.0
@@ -87,11 +90,11 @@ class EsdfIntegratorConfig:
     # inner_sweeps when set). Stride-k relaxations take k-voxel jumps of
     # cost k*step — valid chamfer paths, so values stay upper bounds of
     # the fixpoint — crossing a block in log passes instead of 16; the
-    # trailing 1s keep the exact fixpoint. Jumps only fire inside blocks
-    # whose padded cube is fully observed and sign-uniform (they would
-    # otherwise tunnel across unobserved pockets or surfaces and
-    # permanently under-estimate); elsewhere only the unit sweeps act.
-    # E.g. (8, 4, 2, 1).
+    # trailing 1s keep the exact fixpoint. Jumps are gated PER VOXEL on
+    # the Chebyshev ball of radius k-1 being observed, non-fixed and
+    # sign-uniform (jumps would otherwise tunnel across unobserved
+    # pockets or surfaces and permanently under-estimate); elsewhere
+    # only the unit sweeps act. E.g. (8, 4, 2, 1).
     sweep_strides: Optional[tuple] = None
 
 
@@ -112,6 +115,13 @@ class OccupancyIntegratorConfig:
 class MeshIntegratorConfig:
     use_color: bool = True
     min_weight: float = 1e-4
+    # TPU-specific (device-resident mesh pool): per-block triangle
+    # capacity of the HBM mesh pool (rows that exceed it are flagged and
+    # re-meshed through the dense host fallback on export), and how many
+    # dirty rows one incremental update program marches (rows beyond the
+    # bucket stay dirty for the next update).
+    device_tri_cap: int = 512
+    update_bucket: int = 64
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,7 +133,6 @@ class IcpConfig:
     subsample_keep_ratio: float = 0.5
     inital_translation_weighting: float = 100.0
     inital_rotation_weighting: float = 100.0
-    iterations: int = 20
 
 
 def derive_defaults(

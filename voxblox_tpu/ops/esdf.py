@@ -144,10 +144,18 @@ def _sync_blocks(esdf_layer, tsdf_layer, rows_mask):
     return esdf_layer, overflow
 
 
-def _propagate_classify(t_d, t_w, e_d, e_f, row_mask, cfg):
+def _propagate_classify(t_d, t_w, e_d, e_f, row_mask, cfg,
+                        crust: bool = False):
     """The propagate-pass voxel classification (cc:124-302), shared by
     the full-pool and compacted seeding paths. Rows (t/e arrays
     [N, vpb]) where ``row_mask`` is False are left untouched.
+
+    ``crust`` (batch mode only, cc:155-163 add_occupied_crust): seed
+    UNOBSERVED voxels of processed rows as hallucinated occupied
+    (-default_distance_m, observed, not fixed) so the unknown-space
+    boundary acts as a surface — the sweep's sign-flip rule caps the
+    crust voxel at the interface step and negative distances propagate
+    into the unknown region, exactly the reference's push-model effect.
 
     Returns (out_d, out_f, update, raised)."""
     observed_t = (t_w >= cfg.min_weight) & row_mask[:, None]
@@ -180,8 +188,10 @@ def _propagate_classify(t_d, t_w, e_d, e_f, row_mask, cfg):
 
     update = new_voxel | unfix | lower | raise_ | flip
     out_d = jnp.where(update, seed_d, e_d)
-    # A raise happened where the value moved away from the surface.
-    raised = unfix | raise_ | (flip & (t_d >= e_d))
+    # A raise happened where the value moved away from the surface —
+    # including a hallucinated (crust) voxel replaced by real data
+    # (cc:178-181).
+    raised = unfix | raise_ | (flip & (t_d >= e_d)) | (new_voxel & was_hall)
 
     new_flags = (
         OBS
@@ -192,6 +202,13 @@ def _propagate_classify(t_d, t_w, e_d, e_f, row_mask, cfg):
         new_flags,  # observed voxels: flags fully re-derived from TSDF
         e_f,
     ).astype(jnp.uint8)
+    if crust:
+        crust_v = ~observed_t & row_mask[:, None]
+        out_d = jnp.where(crust_v, -cfg.default_distance_m, out_d)
+        out_f = jnp.where(
+            crust_v, np.uint8(OBS | HALL), out_f
+        ).astype(jnp.uint8)
+        update = update | crust_v
     return out_d, out_f, update, raised
 
 
@@ -200,6 +217,7 @@ def seed_from_tsdf(
     tsdf_layer: vlayer.VoxelLayer,
     cfg: EsdfIntegratorConfig,
     tsdf_rows_mask,
+    crust: bool = False,
 ):
     """Propagate-pass (cc:124-302) over the selected TSDF rows.
 
@@ -225,7 +243,7 @@ def seed_from_tsdf(
     e_f = esdf_layer.channels["esdf_flags"].reshape(mbe, vpb)
 
     out_d, out_f, update, raised = _propagate_classify(
-        t_d, t_w, e_d, e_f, sel, cfg
+        t_d, t_w, e_d, e_f, sel, cfg, crust=crust
     )
 
     changed = jnp.any(update | (jnp.abs(out_d - e_d) > cfg.min_diff_m), axis=1)
@@ -244,7 +262,8 @@ def seed_from_tsdf(
     return esdf_layer, changed, raised_rows
 
 
-def _seed_compact(esdf_layer, tsdf_layer, cfg, tsdf_rows_mask, k: int):
+def _seed_compact(esdf_layer, tsdf_layer, cfg, tsdf_rows_mask, k: int,
+                  crust: bool = False):
     """seed_from_tsdf restricted to a compacted working set of <= k rows.
 
     The propagate pass touches only rows whose TSDF counterpart is
@@ -275,7 +294,7 @@ def _seed_compact(esdf_layer, tsdf_layer, cfg, tsdf_rows_mask, k: int):
     e_f = esdf_layer.channels["esdf_flags"].reshape(mbe, vpb)[safe]
 
     out_d, out_f, update, raised = _propagate_classify(
-        t_d, t_w, e_d, e_f, ok, cfg
+        t_d, t_w, e_d, e_f, ok, cfg, crust=crust
     )
 
     wr = jnp.where(ok, rows, mbe)
@@ -558,13 +577,18 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
             [nbr, jnp.full((bt - n_rows, 27), -1, nbr.dtype)], axis=0
         ) if bt > n_rows else nbr
         d20 = _pk.to_2d(_padded(view, d, nbr, jnp.float32(0.0)))
-        # Strided-jump soundness gate: observedness and voxel signs are
-        # static across sweeps, so compute once from the seeded state.
-        sok = (
-            _pk.stride_ok_2d(d20, o2)
-            if cfg.sweep_strides and any(k > 1 for k in cfg.sweep_strides)
-            else None
-        )
+        # Strided-jump soundness gates: observedness, fixedness and
+        # voxel signs are static across sweeps, so the per-voxel
+        # admissibility codes are computed once from the seeded state.
+        codes = None
+        if cfg.sweep_strides and any(k > 1 for k in cfg.sweep_strides):
+            fix_pad = _padded(
+                view, fixed.astype(jnp.float32), nbr, jnp.float32(0.0)
+            )
+            codes = _stride_codes_2d(
+                d20, o2, _pk.to_2d(fix_pad), nbr_pad, bt,
+                cfg.sweep_strides,
+            )
 
         def outer_cond2(state):
             d2, changed, it = state
@@ -576,7 +600,7 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
                 d2, o2, u2, cfg.inner_sweeps, esdf_layer.voxel_size,
                 cfg.max_distance_m, cfg.min_diff_m,
                 interpret=pallas_interpret, strides=cfg.sweep_strides,
-                stride_ok=sok,
+                stride_codes=codes,
             )
             changed = jnp.any(jnp.abs(d2a - d2) > cfg.min_diff_m)
             d2b = _halo_exchange_2d(d2a, nbr_pad, bt)
@@ -723,6 +747,48 @@ def _halo_exchange_2d(d2, nbr_pad, bt: int):
                 content = jnp.where(m, g, content)
         d2 = d2.at[dst_rows].set(content, unique_indices=True)
     return d2
+
+
+def _stride_codes_2d(d20, o2, f2, nbr_pad, bt: int, strides):
+    """Per-voxel strided-jump admissibility codes for the Pallas sweep.
+
+    Returns (code_pos, code_neg) in kernel 2D layout: a voxel's code
+    reaches level i+1 iff the Chebyshev ball of radius
+    ``stride_radii(strides)[i]`` around it is entirely traversable on
+    that sign's side — observed, NOT fixed (a fixed intermediate may
+    hold a value above its relaxation bound, breaking the chamfer-path
+    induction; see _relax_kernel's soundness note) and sign-matching.
+    Built by halo-synchronized Chebyshev erosion: one erode1_2d step
+    (which zeroes the ring) followed by one 2D halo exchange (which
+    refills it from neighbor interiors) per unit radius, so
+    admissibility flows correctly across block borders; blocks with
+    missing neighbors stay conservative (ring = 0). The pos/neg masks
+    are stacked along the block axis so each step is ONE erode + ONE
+    exchange. Observedness, fixedness and signs are static across
+    sweeps (the stride-1 flip rule caps magnitudes, never flips a
+    sign), so callers compute codes once per update from the seeded
+    state."""
+    from .pallas import esdf_relax as _pk
+
+    trav = (o2 > 0.5) & ~(f2 > 0.5)
+    m = jnp.concatenate(
+        [(trav & (d20 > 0.0)).astype(jnp.float32),
+         (trav & (d20 <= 0.0)).astype(jnp.float32)], axis=0
+    )
+    nbr2 = jnp.concatenate(
+        [nbr_pad, jnp.where(nbr_pad >= 0, nbr_pad + bt, -1)], axis=0
+    )
+    interior2 = jnp.tile(_pk.interior_mask_2d(d20.shape[0]), (2, 1))
+    code = jnp.zeros_like(m)
+    done = 0
+    for r in _pk.stride_radii(strides):
+        for _ in range(r - done):
+            m = _pk.erode1_2d(m, interior2)
+            m = _halo_exchange_2d(m, nbr2, 2 * bt)
+        done = r
+        code = code + m
+    rows = d20.shape[0]
+    return code[:rows], code[rows:]
 
 
 def _padded(view_layer, values, nbr, fill):
@@ -880,13 +946,14 @@ def _batch_jit(esdf_layer, tsdf_layer, cfg: EsdfIntegratorConfig):
     rows_mask = tsdf_layer.active_mask()
     esdf_layer, overflow = _sync_blocks(esdf_layer, tsdf_layer, rows_mask)
     k = cfg.max_active_blocks
+    crust = cfg.add_occupied_crust  # batch mode only (cc:155-163)
     if k is None or k >= esdf_layer.max_blocks:
         esdf_layer, _, _ = seed_from_tsdf(esdf_layer, tsdf_layer, cfg,
-                                          rows_mask)
+                                          rows_mask, crust=crust)
         seed_ovf = jnp.asarray(False)
     else:
         esdf_layer, _, _, seed_ovf = _seed_compact(
-            esdf_layer, tsdf_layer, cfg, rows_mask, k
+            esdf_layer, tsdf_layer, cfg, rows_mask, k, crust=crust
         )
     esdf_layer, iters, region_ovf = lower_sweep(esdf_layer, cfg)
     return esdf_layer, overflow, region_ovf | seed_ovf, iters
@@ -931,6 +998,11 @@ def update_from_tsdf_incremental_deferred(
 def grow_bucket_cache(cfg: EsdfIntegratorConfig, esdf_layer):
     """Double the cached sweep working-set bucket (deferred-overflow
     recovery path)."""
+    if (cfg.max_active_blocks is None
+            or cfg.max_active_blocks >= esdf_layer.max_blocks):
+        # Unbudgeted sweeps materialize the whole pool: region overflow
+        # cannot occur and there is no bucket to grow.
+        return
     run_cfg = _bucketed_cfg(
         cfg, esdf_layer, esdf_layer
     )

@@ -72,23 +72,36 @@ def _relax_kernel(strides: tuple, voxel_size: float, max_distance: float,
     UPPER bounds of the fixpoint while crossing a 16-voxel block in log
     passes instead of 16 (jump-flooding-style warm start; the trailing
     stride-1 sweeps keep the exact fixpoint). SOUNDNESS: the decomposed
-    path's k-1 INTERMEDIATE voxels must be traversable (observed, same
-    sign) or the jump would tunnel through unobserved pockets / across
-    surfaces and permanently UNDER-estimate (monotone relaxation cannot
-    raise values back). Jumps are therefore gated per block by
-    ``stride_ok`` — the block's full 18^3 padded cube (ring included) is
-    entirely observed and sign-uniform, which covers every jump ending
-    in the cube since observedness and signs are static across sweeps.
+    path's k-1 INTERMEDIATE voxels must be traversable (observed, NOT
+    fixed — a fixed voxel may hold a value above its relaxation bound,
+    breaking the path induction — and same sign) or the jump would
+    tunnel through unobserved pockets / across surfaces and permanently
+    UNDER-estimate (monotone relaxation cannot
+    raise values back). Jumps at stride k are gated PER VOXEL by the
+    admissibility codes ``stride_codes`` = (code_pos, code_neg): a
+    center's code reaches level L(k) iff the whole Chebyshev ball of
+    radius k-1 around it is traversable on that sign's side (the ball
+    covers every intermediate of every direction; see stride_radii /
+    ops/esdf._stride_codes_2d for the halo-synchronized erosion that
+    builds the codes — observedness and signs are static across
+    sweeps, so they are computed once per update). Strided candidates
+    are additionally rejected above max_distance (the traversability
+    induction needs in-window fixpoint values along the path).
     Strided reads also need in-block validity masks (iota-derived); the
     sign-flip rule runs only at stride 1 (it caps |d| at the INTERFACE
     step length).
     """
     strided = any(k > 1 for k in strides)
+    level_of = {
+        k: i + 1.0
+        for i, k in enumerate(sorted({int(k) for k in strides if k > 1}))
+    }
 
     def kernel(*refs):
         if strided:
-            d_ref, obs_ref, upd_ref, sok_ref, out_ref = refs
-            stride_ok = sok_ref[:] > 0.5
+            d_ref, obs_ref, upd_ref, cp_ref, cn_ref, out_ref = refs
+            code_pos = cp_ref[:]
+            code_neg = cn_ref[:]
         else:
             d_ref, obs_ref, upd_ref, out_ref = refs
         d = d_ref[:]
@@ -116,6 +129,13 @@ def _relax_kernel(strides: tuple, voxel_size: float, max_distance: float,
             flips = k == 1
             src = obs & (jnp.abs(d) < max_distance)
             pos = d > 0.0
+            if k > 1:
+                # Per-voxel jump gates, evaluated at the CENTER: the
+                # radius-(k-1) traversability ball covers every
+                # intermediate voxel of every direction — no rolls.
+                lvl = level_of[k] - 0.5
+                gate_pos = code_pos > lvl
+                gate_neg = code_neg > lvl
             # Validity-packed one-sided fields.
             dp = jnp.where(src & pos, d, BIG)
             dn = jnp.where(src & ~pos, d, -BIG)
@@ -152,19 +172,26 @@ def _relax_kernel(strides: tuple, voxel_size: float, max_distance: float,
                     if k > 1:
                         # Strided reads can leave the 18^3 block (mask
                         # by in-block validity of the source coordinate)
-                        # and must only fire in fully-observed
-                        # sign-uniform blocks (see docstring).
+                        # and only fire where the center's admissibility
+                        # code covers radius k-1 (see docstring); the
+                        # candidate must land inside the max-distance
+                        # window for the path induction to hold.
                         m = (
-                            stride_ok
-                            & (lane_x + k * dx >= 0)
+                            (lane_x + k * dx >= 0)
                             & (lane_x + k * dx <= P - 1)
                             & (lane_y + k * dy >= 0)
                             & (lane_y + k * dy <= P - 1)
                             & (row_z + k * dz >= 0)
                             & (row_z + k * dz <= P - 1)
                         )
-                        ndp = jnp.where(m, ndp, BIG)
-                        ndn = jnp.where(m, ndn, -BIG)
+                        ndp = jnp.where(
+                            m & gate_pos & (ndp + step < max_distance),
+                            ndp, BIG,
+                        )
+                        ndn = jnp.where(
+                            m & gate_neg & (ndn - step > -max_distance),
+                            ndn, -BIG,
+                        )
                     best_pos = jnp.minimum(best_pos, ndp + step)
                     best_neg = jnp.maximum(best_neg, ndn - step)
                     if flips:
@@ -212,57 +239,59 @@ def from_2d(x2, b: int):
     return x2[: b * P, : P * P].reshape(-1, P, P, P)[:b]
 
 
-def stride_ok_2d(d2, o2, block_tile: int = 8):
-    """Per-block strided-jump gate in kernel layout (see _relax_kernel):
-    1.0 on every row/lane of a block whose INTERIOR 16^3 is entirely
-    observed AND sign-uniform. Only the interior matters: a jump's k-1
-    intermediate voxels lie strictly between an interior center and the
-    source, hence are always interior; ring-cell ENDPOINTS are already
-    guarded by the +-BIG source packing. (Requiring the ring too
-    disabled jumps in nearly every block of a shell-shaped active set —
-    any block with a missing neighbor — and regressed the batch sweep to
-    one effective unit sweep per exchange.) Observedness and signs are
-    static across sweeps, so compute once per update from the seeded
-    state."""
-    rows = d2.shape[0]
-    bt = rows // P
+def stride_radii(strides) -> tuple:
+    """Erosion radii the admissibility codes must capture, in LEVEL
+    order: level i+1 of the codes corresponds to radii()[i] = k_i - 1
+    for the i-th distinct stride > 1 (the same ordering _relax_kernel
+    derives its per-stride gate levels from)."""
+    return tuple(k - 1 for k in sorted({int(k) for k in strides if k > 1}))
+
+
+def interior_mask_2d(rows: int):
+    """f32[rows, LANE_PAD]: 1.0 on interior cells (x,y,z in [1,16]),
+    0 on the halo ring and the lane padding."""
     lane = np.arange(LANE_PAD)
     lx = lane % P
     ly = lane // P
-    z = np.arange(P)
-    interior = (
-        ((z >= 1) & (z <= P - 2))[:, None]
-        & ((lx >= 1) & (lx <= P - 2) & (ly >= 1) & (ly <= P - 2))[None, :]
-    )  # [P, LANE_PAD]
-    m3 = jnp.asarray(interior[None])
-    o3 = (o2 > 0.5).reshape(bt, P, LANE_PAD)
-    obs_b = jnp.all(jnp.where(m3, o3, True), axis=(1, 2))
-    pos3 = (d2 > 0.0).reshape(bt, P, LANE_PAD)
-    uniform = (
-        jnp.all(jnp.where(m3, pos3, True), axis=(1, 2))
-        | jnp.all(jnp.where(m3, ~pos3, True), axis=(1, 2))
+    lm = (lx >= 1) & (lx <= P - 2) & (ly >= 1) & (ly <= P - 2) & (lane < LANES)
+    z = np.arange(rows) % P
+    zm = (z >= 1) & (z <= P - 2)
+    return jnp.asarray(
+        (zm[:, None] & lm[None, :]).astype(np.float32)
     )
-    ok = (obs_b & uniform).astype(jnp.float32)
-    return jnp.broadcast_to(
-        jnp.repeat(ok, P)[:, None], (rows, LANE_PAD)
+
+
+def erode1_2d(m, interior):
+    """One Chebyshev (3^3 box) erosion step in kernel layout: separable
+    min over x (lane +-1), y (lane +-18), z (sublane +-1). Ring cells
+    and pad lanes are zeroed (conservative) — callers re-fill the ring
+    from neighbor blocks between steps (halo-synchronized erosion)."""
+    mm = jnp.minimum(m, jnp.minimum(jnp.roll(m, 1, 1), jnp.roll(m, -1, 1)))
+    mm = jnp.minimum(
+        mm, jnp.minimum(jnp.roll(mm, P, 1), jnp.roll(mm, -P, 1))
     )
+    mm = jnp.minimum(
+        mm, jnp.minimum(jnp.roll(mm, 1, 0), jnp.roll(mm, -1, 0))
+    )
+    return mm * interior
 
 
 def relax_2d(d2, o2, u2, inner_sweeps: int, voxel_size: float,
              max_distance: float, min_diff: float,
              interpret: bool = False, block_tile: int = 8,
-             strides=None, stride_ok=None):
+             strides=None, stride_codes=None):
     """Run relaxations directly on kernel-layout state ([BT*18, LANE_PAD]
     from ``to_2d``) — callers that keep the sweep state 2D across outer
     iterations skip the per-call cube<->2D relayouts (~5 ms per call at
     512 blocks). ``strides``: per-relaxation step multiples (default
-    ``(1,) * inner_sweeps``); strided schedules REQUIRE ``stride_ok``
-    (stride_ok_2d) — the per-block jump-soundness gate."""
+    ``(1,) * inner_sweeps``); strided schedules REQUIRE ``stride_codes``
+    = (code_pos, code_neg) — the per-voxel jump-admissibility levels
+    (see _relax_kernel and ops/esdf._stride_codes_2d)."""
     strides = tuple(strides) if strides else (1,) * inner_sweeps
     strided = any(k > 1 for k in strides)
-    if strided and stride_ok is None:
-        raise ValueError("strided schedules require stride_ok "
-                         "(see stride_ok_2d)")
+    if strided and stride_codes is None:
+        raise ValueError("strided schedules require stride_codes "
+                         "(per-voxel admissibility; see stride_radii)")
     rows = d2.shape[0]
     bt = rows // P
     kern = _relax_kernel(strides, voxel_size, max_distance, min_diff)
@@ -270,7 +299,7 @@ def relax_2d(d2, o2, u2, inner_sweeps: int, voxel_size: float,
     grid = (bt // block_tile,)
     spec = pl.BlockSpec((rows_tile, LANE_PAD), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    args = (d2, o2, u2) + ((stride_ok,) if strided else ())
+    args = (d2, o2, u2) + (tuple(stride_codes) if strided else ())
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((rows, LANE_PAD), jnp.float32),
@@ -301,13 +330,33 @@ def relax_padded(d_pad, obs_pad, upd_pad, inner_sweeps: int,
     b = d_pad.shape[0]
     d2 = to_2d(d_pad, block_tile)
     o2 = to_2d(obs_pad, block_tile)
-    sok = (
-        stride_ok_2d(d2, o2, block_tile)
-        if strides and any(k > 1 for k in strides) else None
-    )
+    u2 = to_2d(upd_pad, block_tile)
+    codes = None
+    if strides and any(k > 1 for k in strides):
+        # Standalone blocks (no neighbor table): erode without halo
+        # refresh — erode1_2d zeroes the ring each step, so codes are
+        # conservative within radius-r of block borders (jumps simply
+        # don't fire there). Traversability = updatable (the upd
+        # contract already excludes the ring and fixed voxels), split
+        # by the static voxel sign.
+        interior2 = jnp.tile(interior_mask_2d(d2.shape[0]), (2, 1))
+        trav = u2 > 0.5
+        m = jnp.concatenate(
+            [(trav & (d2 > 0.0)).astype(jnp.float32),
+             (trav & (d2 <= 0.0)).astype(jnp.float32)], axis=0
+        ) * interior2
+        code = jnp.zeros_like(m)
+        done = 0
+        for r in stride_radii(strides):
+            for _ in range(r - done):
+                m = erode1_2d(m, interior2)
+            done = r
+            code = code + m
+        rows = d2.shape[0]
+        codes = (code[:rows], code[rows:])
     out = relax_2d(
-        d2, o2, to_2d(upd_pad, block_tile), inner_sweeps, voxel_size,
+        d2, o2, u2, inner_sweeps, voxel_size,
         max_distance, min_diff, interpret=interpret, block_tile=block_tile,
-        strides=strides, stride_ok=sok,
+        strides=strides, stride_codes=codes,
     )
     return from_2d(out, b)
