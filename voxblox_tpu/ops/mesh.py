@@ -280,34 +280,17 @@ def _march_core(layer: vlayer.VoxelLayer, rows, min_weight: float,
     return tri_verts, tri_mask, corner_pos, corner_color
 
 
-@partial(jax.jit,
-         static_argnames=("min_weight", "use_color", "max_tris"))
-def _march_rows_packed(layer: vlayer.VoxelLayer, rows, min_weight: float,
-                       use_color: bool, max_tris: int):
-    """_march_rows + device-side triangle compaction.
-
-    The full [B, C, 5, ...] outputs are ~100 MB per 64-block batch while
-    a scan's worth of valid triangles is ~1 MB — through a remote-TPU
-    tunnel (~15 MB/s) the transfer dominated meshing by 100x. Returns
-    (packed f32[max_tris, 12], counts int32[B], overflow bool): packed
-    columns 0-8 = the 3 vertices, 9-11 = per-vertex rgb as u8-packed u32
-    bits; triangles are block-major so host-side np.cumsum(counts) splits
-    them per block. Normals are recomputed on host (3 numpy ops).
-    """
-    tv, tm, corner_pos, corner_color = _march_core(
-        layer, rows, min_weight, use_color
-    )
-    b = rows.shape[0]
-    flat_m = tm.reshape(-1)
-    n_flat = flat_m.shape[0]
-    ids = jnp.nonzero(flat_m, size=max_tris, fill_value=n_flat)[0]
-    overflow = jnp.sum(flat_m) > max_tris
+def _pack_compacted(tv, corner_pos, corner_color, ids, n_flat,
+                    max_tris: int):
+    """Gather the ``max_tris`` compacted triangles selected by ``ids``
+    (flat cube*5 indices, fill = n_flat) into packed rows
+    f32[max_tris, 12]: columns 0-8 the 3 vertices, 9-11 per-vertex rgb
+    as u8-packed u32 bits. Colors are computed ONLY for the compacted
+    set (dense per-cube color assignment was a 11.8M-element gather —
+    189 ms/scan)."""
     safe = jnp.where(ids < n_flat, ids, 0)
     vv = tv.reshape(n_flat, 9)[safe]
     if corner_color is not None:
-        # Nearest-corner color, computed ONLY for the compacted
-        # triangles (dense per-cube color assignment was a 11.8M-element
-        # gather — 189 ms/scan; compacted it's <= max_tris*3*8).
         cube = safe // 5
         cpos = corner_pos.reshape(-1, 8, 3)[cube]  # [T,8,3]
         ccol = corner_color.reshape(-1, 8, 3)[cube]
@@ -324,9 +307,252 @@ def _march_rows_packed(layer: vlayer.VoxelLayer, rows, min_weight: float,
     packed = jnp.concatenate(
         [vv, jax.lax.bitcast_convert_type(cw, jnp.float32)], axis=-1
     )
-    packed = jnp.where((ids < n_flat)[:, None], packed, 0.0)
+    return jnp.where((ids < n_flat)[:, None], packed, 0.0)
+
+
+@partial(jax.jit,
+         static_argnames=("min_weight", "use_color", "max_tris"))
+def _march_rows_packed(layer: vlayer.VoxelLayer, rows, min_weight: float,
+                       use_color: bool, max_tris: int):
+    """_march_rows + device-side triangle compaction.
+
+    The full [B, C, 5, ...] outputs are ~100 MB per 64-block batch while
+    a scan's worth of valid triangles is ~1 MB — through a remote-TPU
+    tunnel (~15 MB/s) the transfer dominated meshing by 100x. Returns
+    (packed f32[max_tris, 12], counts int32[B], overflow bool);
+    triangles are block-major so host-side np.cumsum(counts) splits
+    them per block. Normals are recomputed on host (3 numpy ops).
+    """
+    tv, tm, corner_pos, corner_color = _march_core(
+        layer, rows, min_weight, use_color
+    )
+    b = rows.shape[0]
+    flat_m = tm.reshape(-1)
+    n_flat = flat_m.shape[0]
+    ids = jnp.nonzero(flat_m, size=max_tris, fill_value=n_flat)[0]
+    overflow = jnp.sum(flat_m) > max_tris
+    packed = _pack_compacted(tv, corner_pos, corner_color, ids, n_flat,
+                             max_tris)
     counts = jnp.sum(tm.reshape(b, -1), axis=-1).astype(jnp.int32)
     return packed, counts, overflow
+
+
+# ---------------------------------------------------------------------------
+# Device-resident mesh pool
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["tris", "counts", "overflow_rows"],
+    meta_fields=["tri_cap"],
+)
+@dataclasses.dataclass
+class MeshPool:
+    """Device-resident per-block triangle buffers, row-aligned with the
+    voxel pool (the TPU-native MeshLayer: reference mesh/mesh_layer.h
+    keeps per-block Mesh buffers host-side and re-meshes on the kMesh
+    dirty bit; here the buffers live in HBM and ONE jitted program per
+    update marches the dirty rows, compacts their triangles on device
+    and scatters them into the pool — triangles only ever cross to the
+    host on export).
+
+    ``tris`` is stored flat [max_blocks, tri_cap*12] (a [*, tri_cap, 12]
+    cube would tile-pad its 12-wide minor dim to 128 = 10.7x HBM).
+    Packed row layout matches _pack_compacted: 9 vertex floats + 3
+    u8-packed color words.
+    """
+
+    tris: jax.Array  # f32[max_blocks, tri_cap*12]
+    counts: jax.Array  # int32[max_blocks]
+    overflow_rows: jax.Array  # bool[max_blocks]: count clipped at tri_cap
+    tri_cap: int
+
+    @property
+    def max_blocks(self) -> int:
+        return self.counts.shape[0]
+
+
+def make_mesh_pool(max_blocks: int, tri_cap: int = 512) -> MeshPool:
+    return MeshPool(
+        tris=jnp.zeros((max_blocks, tri_cap * 12), jnp.float32),
+        counts=jnp.zeros((max_blocks,), jnp.int32),
+        overflow_rows=jnp.zeros((max_blocks,), bool),
+        tri_cap=int(tri_cap),
+    )
+
+
+@partial(jax.jit,
+         static_argnames=("min_weight", "use_color", "bucket",
+                          "only_updated"))
+def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
+                          min_weight: float, use_color: bool, bucket: int,
+                          only_updated: bool):
+    """March up to ``bucket`` dirty rows and replace their mesh-pool rows.
+
+    ONE program, NO host transfer: row selection, marching, per-block
+    triangle compaction and the pool scatter all run on device; the
+    kMesh dirty bits of the processed rows are cleared inside the
+    program (unprocessed rows beyond the bucket stay dirty and are
+    picked up by the next call — ``more`` flags that).
+
+    Returns (layer, pool, more: bool[]).
+    """
+    if only_updated:
+        mask = vlayer.dirty_mask(layer, vlayer.DIRTY_MESH)
+    else:
+        mask = layer.active_mask()
+    rows = jnp.nonzero(mask, size=bucket, fill_value=-1)[0].astype(jnp.int32)
+    more = jnp.sum(mask) > bucket
+    row_ok = rows >= 0
+
+    tv, tm, corner_pos, corner_color = _march_core(
+        layer, rows, min_weight, use_color
+    )
+    b = bucket
+    cap = pool.tri_cap
+    tm2 = tm.reshape(b, -1)  # [B, C*5]
+    counts_full = jnp.sum(tm2, axis=1).astype(jnp.int32)
+    # Per-block slot position; triangles beyond tri_cap are dropped (the
+    # row is flagged in overflow_rows — export re-meshes those via the
+    # dense host fallback).
+    pos = jnp.cumsum(tm2, axis=1).astype(jnp.int32) - tm2
+    keep = tm2 & (pos < cap)
+    counts = jnp.minimum(counts_full, cap)
+    ovf = counts_full > cap
+
+    # Global block-major compaction (bounded by B*cap thanks to ``keep``).
+    n_flat = b * tm2.shape[1]
+    max_tris = b * cap
+    ids = jnp.nonzero(keep.reshape(-1), size=max_tris, fill_value=n_flat)[0]
+    packed = _pack_compacted(tv, corner_pos, corner_color, ids, n_flat,
+                             max_tris)
+    packed_ext = jnp.concatenate(
+        [packed, jnp.zeros((1, 12), jnp.float32)], axis=0
+    )
+
+    # Re-expand to per-block fixed-capacity rows with ONE row gather
+    # (indices = B*cap rows of 12 — row width is nearly free on TPU),
+    # then scatter B full rows into the pool.
+    starts = jnp.cumsum(counts) - counts
+    t_idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    gidx = jnp.where(t_idx < counts[:, None],
+                     starts[:, None] + t_idx, max_tris)
+    content = packed_ext[gidx].reshape(b, cap * 12)
+
+    wr = jnp.where(row_ok, rows, pool.max_blocks)
+    tris = pool.tris.at[wr].set(content, mode="drop", unique_indices=True)
+    new_counts = pool.counts.at[wr].set(counts, mode="drop",
+                                        unique_indices=True)
+    new_ovf = pool.overflow_rows.at[wr].set(ovf, mode="drop",
+                                            unique_indices=True)
+    # Rows whose block was deactivated hold stale triangles; zero their
+    # counts every update (cheap full-pool int op) so exports skip them.
+    active = layer.active_mask()
+    new_counts = jnp.where(active, new_counts, 0)
+    new_ovf = new_ovf & active
+    pool = dataclasses.replace(pool, tris=tris, counts=new_counts,
+                               overflow_rows=new_ovf)
+    layer = vlayer.clear_dirty(layer, vlayer.DIRTY_MESH, rows=rows,
+                               valid=row_ok)
+    return layer, pool, more
+
+
+def update_mesh_pool(layer: vlayer.VoxelLayer, pool: MeshPool,
+                     cfg: MeshIntegratorConfig = MeshIntegratorConfig(),
+                     bucket: int = 64, only_updated: bool = True):
+    """Device-resident incremental meshing (MeshIntegrator::generateMesh
+    semantics, mesh_integrator.h:133-163, with the mesh state in HBM).
+
+    Returns (layer, pool, more) where ``more`` is a DEVICE bool: rows
+    beyond ``bucket`` remain dirty (check it lazily; every bool()
+    readback is a pipeline sync through a remote-TPU tunnel)."""
+    use_color = cfg.use_color and "color" in layer.channels
+    return _update_mesh_pool_jit(
+        layer, pool, cfg.min_weight, use_color, int(bucket),
+        bool(only_updated),
+    )
+
+
+@partial(jax.jit, static_argnames=("total_cap",))
+def _export_pool_jit(pool: MeshPool, active, total_cap: int):
+    """Device-side compaction of every active row's triangles into ONE
+    block-major packed buffer f32[total_cap, 12] (+ int32[total_cap]
+    pool rows) — the only transfer on export is ~48 bytes/triangle."""
+    mb = pool.max_blocks
+    cap = pool.tri_cap
+    counts = jnp.where(active, pool.counts, 0)
+    starts = jnp.cumsum(counts) - counts
+    total = jnp.sum(counts)
+    row_of = jnp.repeat(
+        jnp.arange(mb, dtype=jnp.int32), counts,
+        total_repeat_length=total_cap,
+    )
+    i = jnp.arange(total_cap, dtype=jnp.int32)
+    ok = i < total
+    t = i - starts[row_of]
+    flat = pool.tris.reshape(mb * cap, 12)
+    src = jnp.where(ok, row_of * cap + t, mb * cap - 1)
+    out = jnp.where(ok[:, None], flat[src], 0.0)
+    return out, jnp.where(ok, row_of, -1), total
+
+
+def _unpack_rows(data):
+    """packed f32[T,12] -> (verts [T,3,3], colors [T,3,3] float)."""
+    verts = data[:, :9].reshape(-1, 3, 3)
+    cw = data[:, 9:12].view(np.uint32)
+    cols = np.stack(
+        [cw & 0xFF, (cw >> 8) & 0xFF, (cw >> 16) & 0xFF], axis=-1
+    ).astype(np.float32)
+    return verts, cols
+
+
+def pool_to_mesh_layer(layer: vlayer.VoxelLayer, pool: MeshPool,
+                       mesh_layer: MeshLayer,
+                       cfg: MeshIntegratorConfig = MeshIntegratorConfig()):
+    """Export the device mesh pool into a host MeshLayer (per-block
+    triangle soups; the reference's Mesh buffers). Rows flagged
+    overflow_rows are re-meshed through the dense host fallback."""
+    counts = np.asarray(pool.counts)
+    active = np.asarray(layer.active_mask())
+    counts = np.where(active, counts, 0)
+    total = int(counts.sum())
+    block_ijk = np.asarray(layer.block_ijk)
+    mesh_layer.blocks.clear()
+    if total > 0:
+        total_cap = 1 << max(10, int(total - 1).bit_length())
+        out, _, _ = _export_pool_jit(
+            pool, jnp.asarray(active), total_cap
+        )
+        data = np.asarray(jax.device_get(out))[:total]
+        verts, cols = _unpack_rows(data)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        for row in np.nonzero(counts)[0]:
+            sl = slice(offs[row], offs[row + 1])
+            _emit_block(mesh_layer, block_ijk[row], verts[sl], cols[sl])
+
+    # Dense fallback for rows whose triangle count exceeded tri_cap.
+    ovf_rows = np.nonzero(np.asarray(pool.overflow_rows) & active)[0]
+    if len(ovf_rows):
+        use_color = cfg.use_color and "color" in layer.channels
+        for s in range(0, len(ovf_rows), 64):
+            chunk = ovf_rows[s:s + 64].astype(np.int32)
+            pad = np.full(64, -1, np.int32)
+            pad[: len(chunk)] = chunk
+            tv, tmask, tc = _march_rows(
+                layer, jnp.asarray(pad), cfg.min_weight, use_color
+            )
+            tv, tmask, tc = (np.asarray(tv), np.asarray(tmask),
+                             np.asarray(tc))
+            for bi, row in enumerate(chunk):
+                m = tmask[bi]
+                v = tv[bi][m]
+                if len(v) == 0:
+                    mesh_layer.update_block(block_ijk[row], None)
+                else:
+                    _emit_block(mesh_layer, block_ijk[row], v,
+                                np.clip(tc[bi][m], 0, 255))
+    return mesh_layer
 
 
 # ---------------------------------------------------------------------------
