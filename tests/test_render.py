@@ -180,3 +180,81 @@ def test_render_survivor_compaction_matches_chunked():
             np.asarray(d_big[s0:s0 + 128]), np.asarray(d_c), atol=1e-4
         )
         assert (np.asarray(h_big[s0:s0 + 128]) == np.asarray(h_c)).all()
+
+
+def test_color_gradients_match_finite_differences():
+    """Pixel-COLOR gradients w.r.t. the voxel color channel AND (through
+    the moving hit point) the SDF channel, vs central finite differences
+    — the remaining legs of the 'pixel gradients w.r.t. voxel
+    SDF/weight/color' contract (depth-vs-SDF is covered above)."""
+    objs, layer = _sphere_layer(voxel=0.125)
+    # Spatially-varying red channel ALONG THE RAY AXIS so the moving hit
+    # position feeds the color: r = 100 + 40 * x of the voxel center.
+    from voxblox_tpu.core import grid as vgrid
+
+    lin = jnp.arange(layer.voxels_per_block)
+    local = vgrid.linear_to_local(lin, layer.vps)
+    gvi = layer.block_ijk[:, None, :] * layer.vps + local[None]
+    x = vgrid.grid_index_to_center_point(gvi, layer.voxel_size)[..., 0]
+    ch = dict(layer.channels)
+    shape = ch["color"].shape
+    col = jnp.stack(
+        [100.0 + 40.0 * x, jnp.full_like(x, 10.0), jnp.full_like(x, 10.0)],
+        axis=-1,
+    )
+    ch["color"] = col.reshape(shape)
+    layer = dataclasses.replace(layer, channels=ch)
+
+    origins = jnp.asarray(
+        [[-3.0, 0.1, 0.05], [-3.0, -0.23, 0.11]], jnp.float32
+    )
+    dirs = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], jnp.float32)
+
+    def loss(color_channel, tsdf_channel):
+        ch2 = dict(layer.channels)
+        ch2["color"] = color_channel
+        ch2["tsdf"] = tsdf_channel
+        lyr = dataclasses.replace(layer, channels=ch2)
+        depth, color, hit = render.render_depth(
+            lyr, origins, dirs, 8.0, with_color=True
+        )
+        return jnp.sum(color[:, 0]) + 0.1 * jnp.sum(color[:, 1])
+
+    base_c = layer.channels["color"]
+    base_t = layer.channels["tsdf"]
+    gc, gt = jax.grad(loss, argnums=(0, 1))(base_c, base_t)
+    gc, gt = np.asarray(gc), np.asarray(gt)
+
+    # Color-channel gradients: exact trilinear weights — tight FD match.
+    nz = np.argwhere(np.abs(gc) > 1e-3)
+    assert len(nz) >= 8, "expected color gradients on stencil voxels"
+    checked = 0
+    for idx in nz[:: max(1, len(nz) // 5)][:5]:
+        idx = tuple(idx)
+        eps = 1e-2
+        fp = float(loss(base_c.at[idx].add(eps), base_t))
+        fm = float(loss(base_c.at[idx].add(-eps), base_t))
+        fd = (fp - fm) / (2 * eps)
+        assert abs(fd - gc[idx]) < 0.05 * max(1.0, abs(fd)), (
+            idx, fd, gc[idx]
+        )
+        checked += 1
+    assert checked >= 3
+
+    # SDF-channel gradients of the COLOR loss (hit point moves along the
+    # ray; color varies with y only through the refined position), FD
+    # with a looser bar (the march's iterative refinement linearizes).
+    nzt = np.argwhere(np.abs(gt) > 1e-2)
+    assert len(nzt) >= 4, "expected color->sdf gradients"
+    checked = 0
+    for idx in nzt[:: max(1, len(nzt) // 4)][:4]:
+        idx = tuple(idx)
+        eps = 2e-3
+        fp = float(loss(base_c, base_t.at[idx].add(eps)))
+        fm = float(loss(base_c, base_t.at[idx].add(-eps)))
+        fd = (fp - fm) / (2 * eps)
+        assert abs(fd - gt[idx]) < 0.15 * max(1.0, abs(fd)), (
+            idx, fd, gt[idx]
+        )
+        checked += 1
+    assert checked >= 2

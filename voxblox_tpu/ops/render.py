@@ -422,7 +422,10 @@ def render_depth(
     hit = valid & (t_stop < max_distance) & (jnp.abs(s) < 2.0 * vs)
     depth = jnp.where(hit, depth, max_distance)
     if with_color:
-        x_surf = origins + jax.lax.stop_gradient(depth)[:, None] * dirs
+        # Differentiable sample position: pixel color reaches the SDF
+        # channel through the moving hit point (d color/d sdf), and the
+        # color channel through the trilinear weights.
+        x_surf = origins + depth[:, None] * dirs
         color, cvalid = interp.interpolate_trilinear_color(layer, x_surf)
         color = jnp.where(hit[:, None] & cvalid[:, None], color, 0.0)
         return depth, color, hit
