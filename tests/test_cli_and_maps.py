@@ -56,10 +56,17 @@ def test_cli_eval(tmp_path, capsys):
     pts = (v * 0.8 + [0, 0, 1.0]).astype(np.float32)
     gt_path = os.path.join(tmp_path, "gt.ply")
     ply.write_mesh_ply(gt_path, pts)
-    assert cli.main(["eval", path, gt_path]) == 0
-    stats = json.loads(capsys.readouterr().out)
+    recolor = os.path.join(tmp_path, "recolor.ply")
+    assert cli.main(["eval", path, gt_path, "--recolor-mesh", recolor]) == 0
+    out = capsys.readouterr().out
+    stats = json.loads(out[: out.index("error-recolored")])
     assert stats["num_evaluated"] > 150
     assert stats["rmse"] < 0.05
+    # Error-recolored mesh (voxblox_eval.cc:199-246): valid PLY with
+    # near-black colors where the map matches GT.
+    mesh = ply.read_ply(recolor)
+    assert len(mesh["vertices"]) > 0
+    assert mesh.get("colors") is not None
 
 
 def test_map_apis(tmp_path):
@@ -92,3 +99,55 @@ def test_map_apis(tmp_path):
     gn = np.asarray(g[0]) / max(np.linalg.norm(np.asarray(g[0])), 1e-6)
     assert gn[2] > 0.7
     assert bool(emap.is_observed(q)[0])
+
+
+def test_adaptive_distance_and_gradient():
+    """Adaptive queries (interpolator_inl.h:77-154): where the 8-corner
+    stencil is incomplete the query falls back to one-sided differences
+    and gradient-reconstructed distance instead of going invalid."""
+    import dataclasses
+
+    from voxblox_tpu.core import layer as vlayer
+
+    h = 0.1
+    layer = vlayer.make_layer("esdf", h, vps=8, max_blocks=8)
+    layer, _ = vlayer.allocate_blocks(
+        layer, jnp.asarray([[0, 0, 0]]), jnp.ones(1, bool)
+    )
+    from voxblox_tpu.core import grid as vgrid
+    lin = jnp.arange(layer.voxels_per_block)
+    local = vgrid.linear_to_local(lin, 8)
+    z = (local[:, 2].astype(jnp.float32) + 0.5) * h
+    ch = dict(layer.channels)
+    ch["esdf"] = jnp.zeros_like(ch["esdf"]).at[0].set(
+        z.reshape(8, 8, 8)
+    )
+    # Voxels with local z >= 6 are unobserved.
+    obs = jnp.where(local[:, 2] <= 5, vlayer.ESDF_OBSERVED, np.uint8(0))
+    ch["esdf_flags"] = jnp.zeros_like(ch["esdf_flags"]).at[0].set(
+        obs.astype(jnp.uint8).reshape(8, 8, 8)
+    )
+    layer = dataclasses.replace(layer, channels=ch)
+    emap = EsdfMap(layer, MapConfig(voxel_size=h, voxels_per_side=8))
+
+    q = jnp.asarray(
+        [
+            [0.35, 0.35, 0.35],   # interior: full stencil
+            [0.35, 0.35, 0.599],  # stencil reaches unobserved z=6 layer
+            [0.35, 0.35, 0.75],   # in the unobserved region itself
+        ],
+        jnp.float32,
+    )
+    # Plain trilinear: valid only at the interior point.
+    _, _, ok_tri = emap.get_distance_and_gradient_at_position(q)
+    assert bool(ok_tri[0]) and not bool(ok_tri[1])
+
+    d, g, ok = emap.get_distance_and_gradient_at_position(q, adaptive=True)
+    d, g, ok = np.asarray(d), np.asarray(g), np.asarray(ok)
+    assert ok[0] and ok[1] and not ok[2]
+    # Interior matches the trilinear value/gradient exactly.
+    np.testing.assert_allclose(d[0], 0.35, atol=1e-5)
+    np.testing.assert_allclose(g[0], [0, 0, 1.0], atol=1e-5)
+    # Border point: one-sided z difference + reconstructed distance.
+    np.testing.assert_allclose(g[1], [0, 0, 1.0], atol=1e-5)
+    np.testing.assert_allclose(d[1], 0.599, atol=1e-4)

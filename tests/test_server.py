@@ -27,16 +27,26 @@ def _world():
     return w
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_simulation_server_end_to_end():
     srv = SimulationServer(
         _world(), voxel_size=0.2, camera_res=(64, 48), method="merged",
-        max_blocks=2048,
+        max_blocks=2048, generate_occupancy=True,
     )
     result = srv.run(n_viewpoints=6, seed=1)
     assert result["tsdf"].num_evaluated_voxels > 1000
     assert result["tsdf"].rmse < 2 * 0.2
     assert result["esdf"].rmse < 2 * 0.2
     assert "integrate/merged" in result["timing"]
+    # Occupancy track (simulation_server.cc:235-269): classification vs
+    # GT sign and the ESDF-from-occupancy layer.
+    assert result["occ"]["num_evaluated_voxels"] > 1000
+    assert result["occ"]["misclassified_frac"] < 0.15
+    assert result["esdf_occ"].num_evaluated_voxels > 1000
+    assert result["esdf_occ"].rmse < 4 * 0.2
 
 
 def test_esdf_server_pipeline(tmp_path):
@@ -76,7 +86,7 @@ def test_esdf_server_pipeline(tmp_path):
     iters = srv.update_esdf()
     assert iters >= 1
     srv.update_mesh()
-    assert srv.mesh_layer.num_vertices() > 0
+    assert srv.export_mesh_layer().num_vertices() > 0
 
     path = os.path.join(tmp_path, "map.vxblx")
     srv.save_map(path)
@@ -178,7 +188,7 @@ def test_projective_server_method():
     assert int(srv.layer.num_blocks) > 8
     srv.update_esdf()
     srv.update_mesh()
-    assert srv.mesh_layer.num_vertices() > 0
+    assert srv.export_mesh_layer().num_vertices() > 0
 
 
 def test_deferred_overflow_recovery():
@@ -249,3 +259,77 @@ def test_deferred_overflow_recovery():
                                           deferred.esdf_layer)
     assert det.num_evaluated_voxels > 1000
     assert det.rmse < 5e-3, str(det)
+
+
+def test_evaluate_layer_rmse_at_poses():
+    """Pose-sweep RMSE (merge_integration.h:236-307): the identity pose
+    must score ~0 RMSE and a shifted pose must score worse; the aligned
+    layers come back on request."""
+    from voxblox_tpu.utils import evaluation
+
+    w = _world()
+    objs = w.freeze()
+    layer_a = sw.generate_gt_layer(
+        objs, "tsdf", 0.2, (-2.0, -2.0, 0.0), (2.0, 2.0, 3.0),
+        max_dist=0.8, vps=8, max_blocks=1024,
+    )
+    eye = (jnp.eye(3), jnp.zeros(3))
+    shift = (jnp.eye(3), jnp.asarray([0.35, 0.0, 0.0]))
+    details, aligned = evaluation.evaluate_layer_rmse_at_poses(
+        layer_a, layer_a, [eye, shift], return_aligned=True,
+    )
+    assert len(details) == 2 and len(aligned) == 2
+    assert details[0].num_evaluated_voxels > 1000
+    assert details[0].rmse < 0.02
+    assert details[1].rmse > 2 * details[0].rmse
+
+
+def test_fused_scan_matches_two_dispatch():
+    """insert_pointcloud_and_update_esdf (ONE jitted program per scan)
+    must produce the same map as insert_pointcloud + update_esdf."""
+    from voxblox_tpu.utils import evaluation
+
+    w = _world()
+    objs = w.freeze()
+
+    def make():
+        return EsdfServer(
+            map_config=MapConfig(voxel_size=0.2, max_blocks=1024),
+            integrator_config=TsdfIntegratorConfig(
+                default_truncation_distance=0.8, max_ray_length_m=10.0
+            ),
+            esdf_config=EsdfIntegratorConfig(
+                max_distance_m=2.0, default_distance_m=2.0,
+                min_distance_m=0.4, max_active_blocks=512,
+            ),
+            method="projective",
+            projective_resolution=(64, 48),
+            projective_fov_deg=60.0,
+            overflow_check_interval=4,
+        )
+
+    scans = []
+    for ang in (0.0, 0.7):
+        view = jnp.asarray([-np.cos(ang), -np.sin(ang), 0.0], jnp.float32)
+        R = sw.rotation_from_two_vectors(jnp.asarray([0.0, 0.0, 1.0]), view)
+        pos = jnp.asarray([4.0 * np.cos(ang), 4.0 * np.sin(ang), 2.0],
+                          jnp.float32)
+        pts_G, colors, valid = sw.pointcloud_from_viewpoint(
+            objs, pos, view, (64, 48), np.deg2rad(60.0), 10.0
+        )
+        pts_C = sw.world_points_to_sensor((R, pos), pts_G, valid)
+        scans.append(((R, pos), pts_C, colors))
+
+    srv_a, srv_b = make(), make()
+    for T, pts_C, colors in scans:
+        srv_a.insert_pointcloud(T, pts_C, colors)
+        srv_a.update_esdf()
+        srv_b.insert_pointcloud_and_update_esdf(T, pts_C, colors)
+    srv_a.check_overflow()
+    srv_b.check_overflow()
+
+    assert int(srv_b.layer.num_blocks) == int(srv_a.layer.num_blocks)
+    det = evaluation.evaluate_layers_rmse(srv_a.esdf_layer, srv_b.esdf_layer)
+    assert det.num_evaluated_voxels > 1000
+    assert det.rmse < 1e-5, str(det)
+    assert srv_b.num_scans == 2

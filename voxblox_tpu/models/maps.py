@@ -115,12 +115,21 @@ class EsdfMap:
         return interp.nearest(self.layer, positions)
 
     def get_distance_and_gradient_at_position(self, positions,
-                                              interpolate: bool = True):
+                                              interpolate: bool = True,
+                                              adaptive: bool = False):
         """Batch distance+gradient (esdf_map.h:69-77, batch :100-106).
 
         Gradient is the analytic trilinear derivative; pass
         interpolate=False for nearest-voxel distance + central-difference
-        gradient (the reference's uninterpolated mode)."""
+        gradient (the reference's uninterpolated mode). ``adaptive=True``
+        selects the reference's getAdaptiveDistanceAndGradient
+        (esdf_map.cc:35-43 -> interpolator_inl.h:77-154): one-sided /
+        partial-stencil fallbacks so queries near map borders degrade
+        gracefully instead of going invalid."""
+        if adaptive:
+            return interp.adaptive_distance_and_gradient(
+                self.layer, positions
+            )
         if interpolate:
             return interp.interpolate_with_gradient(self.layer, positions)
         d, ok = interp.nearest(self.layer, positions)

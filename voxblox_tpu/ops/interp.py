@@ -189,6 +189,65 @@ def gradient_central(layer, points, channel: str | None = None,
     return jnp.stack(grads, axis=-1), valid
 
 
+def adaptive_distance_and_gradient(layer, points, channel: str | None = None,
+                                   min_weight: float = 1e-6):
+    """Adaptive distance + gradient with one-sided fallbacks
+    (reference getAdaptiveDistanceAndGradient, interpolator_inl.h:77-154).
+
+    Degrades gracefully where the 8-corner stencil is incomplete (map
+    borders, partially observed regions) instead of returning invalid:
+
+    1. nearest-voxel distance must be valid (else the query fails);
+    2. trilinear distance + central-difference-of-interpolants gradient
+       when all stencils are complete;
+    3. otherwise a per-axis nearest-mode finite difference: central
+       where both sides are observed, one-sided where only one is,
+       invalid only when an axis has NO observed neighbor;
+    4. a missing trilinear distance is reconstructed from the gradient:
+       nearest + (pos - voxel_center) . grad.
+
+    Returns (distances [Q], grads [Q,3], valid [Q]). Vectorized — the
+    reference's per-point early exits become masked selects.
+    """
+    channel = channel or _distance_channel(layer)
+    h = layer.voxel_size
+    nn, nn_ok = nearest(layer, points, channel, min_weight)
+    interp_d, interp_ok = interpolate(layer, points, channel, min_weight)
+    grad_i, grad_i_ok = gradient_central(layer, points, channel, min_weight)
+
+    # Fallback: per-axis finite differences of NEAREST-mode values
+    # (interpolator_inl.h:115-140).
+    g_fb = []
+    fb_ok = nn_ok
+    for ax in range(3):
+        off = jnp.zeros((3,), jnp.float32).at[ax].set(h)
+        right, r_ok = nearest(layer, points + off, channel, min_weight)
+        left, l_ok = nearest(layer, points - off, channel, min_weight)
+        g_ax = jnp.where(
+            l_ok & r_ok,
+            (right - left) / (2.0 * h),
+            jnp.where(
+                l_ok, (nn - left) / h,
+                jnp.where(r_ok, (right - nn) / h, 0.0),
+            ),
+        )
+        fb_ok = fb_ok & (l_ok | r_ok)
+        g_fb.append(g_ax)
+    g_fb = jnp.stack(g_fb, axis=-1)
+
+    use_interp_grad = interp_ok & grad_i_ok
+    grad = jnp.where(use_interp_grad[..., None], grad_i, g_fb)
+
+    # Reconstruct the distance from the gradient when the trilinear
+    # stencil was incomplete (interpolator_inl.h:142-151).
+    gvi = grid.point_to_grid_index(points, 1.0 / h)
+    vox_center = (gvi.astype(jnp.float32) + 0.5) * h
+    est = nn + jnp.sum((points - vox_center) * grad, axis=-1)
+    dist = jnp.where(interp_ok, interp_d, est)
+    valid = nn_ok & (use_interp_grad | fb_ok)
+    return dist, grad, valid
+
+
 def interpolate_trilinear_color(layer, points):
     """Trilinear color (tsdf layers); returns (rgb [Q,3], valid [Q])."""
     low, frac = _corner_setup(points, layer.voxel_size)

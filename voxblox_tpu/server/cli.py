@@ -41,10 +41,14 @@ def cmd_sim_bench(args):
         camera_res=(args.width, args.height),
         max_blocks=args.max_blocks,
         incremental_esdf=not args.batch_esdf,
+        generate_occupancy=args.occupancy,
     )
     result = srv.run(n_viewpoints=args.viewpoints, seed=args.seed)
     print("TSDF:", result["tsdf"])
     print("ESDF:", result["esdf"])
+    if args.occupancy:
+        print("OCC:", result["occ"])
+        print("ESDF-OCC:", result["esdf_occ"])
     print(timing.print_timing())
     if args.output_mesh:
         from ..ops import mesh as mesh_ops
@@ -65,7 +69,10 @@ def cmd_sim_bench(args):
 
 def cmd_eval(args):
     """voxblox_eval.cc: interpolated map distance at GT surface points
-    should be ~0; report abs-error statistics."""
+    should be ~0; report abs-error statistics. With --recolor-mesh,
+    recolor the map voxels at the GT points by |error| (gray color map,
+    voxblox_eval.cc:199-207) and write the recolored mesh for visual
+    inspection (cc:228-246)."""
     import jax.numpy as jnp
 
     from ..io import layer_io, ply
@@ -85,6 +92,23 @@ def cmd_eval(args):
         "max_abs_error": float(err.max()) if len(err) else None,
     }
     print(json.dumps(stats, indent=2))
+    if args.recolor_mesh:
+        from ..core import grid, layer as vlayer
+        from ..ops import mesh as mesh_ops
+        from ..utils import color_maps
+
+        trunc = 2.0 * layer.voxel_size
+        rgb = color_maps.grayscale_color_map(
+            jnp.clip(jnp.abs(jnp.asarray(d)) / trunc, 0.0, 1.0)
+        )
+        gvi = grid.point_to_grid_index(pts, 1.0 / layer.voxel_size)
+        layer = vlayer.set_voxels(
+            layer, "color", gvi, rgb, valid=jnp.asarray(valid)
+        )
+        ml = mesh_ops.MeshLayer(layer.block_size)
+        mesh_ops.generate_mesh(layer, ml, only_updated=False)
+        ply.mesh_layer_to_ply(ml, args.recolor_mesh)
+        print(f"error-recolored mesh written to {args.recolor_mesh}")
     return 0
 
 
@@ -212,6 +236,9 @@ def main(argv=None):
     sb.add_argument("--max-blocks", type=int, default=4096)
     sb.add_argument("--seed", type=int, default=0)
     sb.add_argument("--batch-esdf", action="store_true")
+    sb.add_argument("--occupancy", action="store_true",
+                    help="also integrate occupancy + ESDF-from-occupancy "
+                         "and evaluate them (simulation_server.cc:235-269)")
     sb.add_argument("--output-mesh", default=None)
     sb.add_argument("--output-map", default=None)
     sb.set_defaults(fn=cmd_sim_bench)
@@ -220,6 +247,9 @@ def main(argv=None):
     ev.add_argument("map")
     ev.add_argument("gt_ply")
     ev.add_argument("--max-blocks", type=int, default=8192)
+    ev.add_argument("--recolor-mesh", default=None, metavar="OUT_PLY",
+                    help="write a mesh recolored by |error| at the GT "
+                         "points (voxblox_eval.cc:199-246)")
     ev.set_defaults(fn=cmd_eval)
 
     me = sub.add_parser("mesh", help="extract mesh from a .vxblx map")

@@ -95,7 +95,15 @@ class TsdfServer:
             table_capacity=map_config.table_capacity,
         )
         self.fast_state = tsdf_ops.make_fast_state()
+        # Mesh state is DEVICE-resident (ops/mesh.MeshPool): update_mesh
+        # runs one jitted march+compact+scatter program and transfers
+        # nothing; the host MeshLayer below is only a cache filled on
+        # export (generate_mesh / export_mesh_layer).
+        self.mesh_pool = mesh_ops.make_mesh_pool(
+            map_config.max_blocks, mesh_config.device_tri_cap
+        )
         self.mesh_layer = mesh_ops.MeshLayer(self.layer.block_size)
+        self._mesh_more = None  # device flag: dirty rows beyond the bucket
         self.num_scans = 0
         self.icp_corrected = (jnp.eye(3), jnp.zeros(3))
         self.overflow_check_interval = max(1, int(overflow_check_interval))
@@ -193,19 +201,65 @@ class TsdfServer:
 
     # -- services (tsdf_server.cc:115-127, :580-618) ----------------------
     def update_mesh(self):
+        """Incremental mesh update (updateMeshEvent, tsdf_server.cc:493-520)
+        — one device program over the kMesh-dirty rows, mesh stays in HBM
+        (no host transfer; export with generate_mesh/export_mesh_layer)."""
         with timing.timer("mesh/update"):
-            self.layer = mesh_ops.generate_mesh(
-                self.layer, self.mesh_layer, self.mesh_config,
-                only_updated=True,
+            self.layer, self.mesh_pool, more = mesh_ops.update_mesh_pool(
+                self.layer, self.mesh_pool, self.mesh_config,
+                bucket=self.mesh_config.update_bucket, only_updated=True,
             )
+        self._mesh_more = (
+            more if self._mesh_more is None else self._mesh_more | more
+        )
+
+    def _drain_mesh_updates(self):
+        """Mesh every remaining dirty row. The march bucket stays small
+        (the [B,cubes,5,3,3] march intermediates tile-pad their (3,3)
+        minor dims ~42x in HBM — large buckets OOM a 16 GB chip); the
+        dirty count is read ONCE so the loop runs without per-iteration
+        readbacks, then a single ``more`` check catches stragglers."""
+        bucket = self.mesh_config.update_bucket
+        while True:
+            n_dirty = int(np.asarray(
+                vlayer.dirty_mask(self.layer, vlayer.DIRTY_MESH)
+            ).sum())
+            if n_dirty == 0:
+                self._mesh_more = None
+                return
+            more = None
+            for _ in range(-(-n_dirty // bucket)):
+                self.layer, self.mesh_pool, more = (
+                    mesh_ops.update_mesh_pool(
+                        self.layer, self.mesh_pool, self.mesh_config,
+                        bucket=bucket, only_updated=True,
+                    )
+                )
+            self._mesh_more = None
+            if not bool(more):
+                return
+
+    def export_mesh_layer(self) -> mesh_ops.MeshLayer:
+        """Drain pending mesh updates and transfer the device mesh pool
+        into the host MeshLayer cache."""
+        self._drain_mesh_updates()
+        with timing.timer("mesh/export"):
+            mesh_ops.pool_to_mesh_layer(
+                self.layer, self.mesh_pool, self.mesh_layer,
+                self.mesh_config,
+            )
+        return self.mesh_layer
 
     def generate_mesh(self, path: Optional[str] = None):
         """Full re-mesh (+ optional PLY export, generate_mesh service)."""
         with timing.timer("mesh/generate"):
-            self.layer = mesh_ops.generate_mesh(
-                self.layer, self.mesh_layer, self.mesh_config,
-                only_updated=False,
+            # Mark every active block mesh-dirty, then drain + export.
+            rows = jnp.arange(self.layer.max_blocks, dtype=jnp.int32)
+            self.layer = vlayer.mark_dirty(
+                self.layer, rows, self.layer.active_mask(),
+                vlayer.DIRTY_MESH,
             )
+            self.export_mesh_layer()
         if path:
             ply.mesh_layer_to_ply(self.mesh_layer, path)
         return self.mesh_layer
@@ -233,7 +287,11 @@ class TsdfServer:
             vps=self.map_config.voxels_per_side,
             max_blocks=self.map_config.max_blocks,
         )
+        self.mesh_pool = mesh_ops.make_mesh_pool(
+            self.map_config.max_blocks, self.mesh_config.device_tri_cap
+        )
         self.mesh_layer = mesh_ops.MeshLayer(self.layer.block_size)
+        self._mesh_more = None
         self.fast_state = tsdf_ops.make_fast_state()
         self.num_scans = 0
 
@@ -244,6 +302,33 @@ class TsdfServer:
             "memory_bytes": self.layer.memory_bytes(),
             "timing": timing.as_dict(),
         }
+
+
+from functools import partial as _partial
+
+
+@_partial(
+    jax.jit,
+    static_argnames=("tcfg", "ecfg", "resolution", "fov_h_rad", "kind",
+                     "mvb", "mms", "mfs"),
+)
+def _fused_scan_jit(layer, esdf_layer, R, t, points_C, colors, tcfg, ecfg,
+                    resolution, fov_h_rad, kind, mvb, mms, mfs):
+    """One device program: projective integrate + incremental ESDF
+    (EsdfServer.insert_pointcloud_and_update_esdf). ``ecfg`` must
+    already be bucketed (esdf._bucketed_cfg) — overflow flags come back
+    as device scalars for deferred checking."""
+    from ..ops import projective as projective_ops
+
+    layer, t_ovf = projective_ops.integrate_pointcloud_projective(
+        layer, (R, t), points_C, colors, tcfg,
+        resolution=resolution, fov_h_rad=fov_h_rad, kind=kind,
+        max_visible_blocks=mvb, max_mixed_slabs=mms, max_free_slabs=mfs,
+    )
+    esdf_layer, layer, e_ovf, region_ovf, iters = esdf_ops._incremental_jit(
+        esdf_layer, layer, ecfg
+    )
+    return layer, esdf_layer, t_ovf, e_ovf, region_ovf, iters
 
 
 class EsdfServer(TsdfServer):
@@ -261,6 +346,7 @@ class EsdfServer(TsdfServer):
         self.esdf_cfg = esdf_config
         self.clear_sphere_for_planning = clear_sphere_for_planning
         self._esdf_region_ovf = None
+        self._esdf_pool_ovf = None
         self.esdf_layer = vlayer.make_layer(
             "esdf",
             map_config.voxel_size,
@@ -278,6 +364,55 @@ class EsdfServer(TsdfServer):
                 )
         return T
 
+    def insert_pointcloud_and_update_esdf(self, T_G_C, points_C,
+                                          colors=None):
+        """Fused online step: integrate + incremental ESDF in ONE device
+        program per scan (the tsdf_server.cc:407-414 + esdf_server.cc:
+        192-197 cadence with the two dispatches fused — through a
+        remote-TPU tunnel each dispatch costs ~25 ms of latency, so the
+        fusion halves the per-scan floor). Projective method only; ICP
+        and clear-sphere stay on the two-dispatch path. Overflow flags
+        accumulate on device exactly like the deferred
+        (overflow_check_interval > 1) mode — call check_overflow to
+        resolve them."""
+        assert self.method == "projective", "fused step is projective-only"
+        points_C = jnp.asarray(points_C, jnp.float32)
+        if colors is None:
+            colors = jnp.zeros_like(points_C)
+        colors = jnp.asarray(colors, jnp.float32)
+        points_C, colors = self._pad(points_C, colors)
+        if not isinstance(T_G_C, tuple):
+            T_G_C = (jnp.asarray(T_G_C[:3, :3]), jnp.asarray(T_G_C[:3, 3]))
+        run_cfg = esdf_ops._bucketed_cfg(
+            self.esdf_cfg, self.esdf_layer, self.layer
+        )
+        b = self.projective_budgets
+        with timing.timer("fused_scan"):
+            (self.layer, self.esdf_layer, t_ovf, e_ovf, region_ovf,
+             iters) = _fused_scan_jit(
+                self.layer, self.esdf_layer, T_G_C[0], T_G_C[1],
+                points_C, colors, self.cfg, run_cfg,
+                self.projective_resolution, self.projective_fov,
+                self.projective_kind, b["max_visible_blocks"],
+                b["max_mixed_slabs"], b["max_free_slabs"],
+            )
+        self._overflow_acc = (
+            t_ovf if self._overflow_acc is None
+            else self._overflow_acc | t_ovf
+        )
+        self._esdf_pool_ovf = (
+            e_ovf if getattr(self, "_esdf_pool_ovf", None) is None
+            else self._esdf_pool_ovf | e_ovf
+        )
+        self._esdf_region_ovf = (
+            region_ovf if self._esdf_region_ovf is None
+            else self._esdf_region_ovf | region_ovf
+        )
+        self.num_scans += 1
+        if self.num_scans % self.overflow_check_interval == 0:
+            self.check_overflow()
+        return iters
+
     def update_esdf(self):
         """Incremental ESDF update (esdf_server.cc:192-197).
 
@@ -294,9 +429,12 @@ class EsdfServer(TsdfServer):
                  iters) = esdf_ops.update_from_tsdf_incremental_deferred(
                     self.esdf_layer, self.layer, self.esdf_cfg
                 )
-            self._overflow_acc = (
-                overflow if self._overflow_acc is None
-                else self._overflow_acc | overflow
+            # ESDF *pool* overflow is tracked separately from the TSDF
+            # block-pool accumulator so check_overflow can raise the
+            # right "grow which pool" message.
+            self._esdf_pool_ovf = (
+                overflow if getattr(self, "_esdf_pool_ovf", None) is None
+                else self._esdf_pool_ovf | overflow
             )
             self._esdf_region_ovf = (
                 region_ovf if self._esdf_region_ovf is None
@@ -316,6 +454,13 @@ class EsdfServer(TsdfServer):
 
     def check_overflow(self):
         super().check_overflow()
+        if getattr(self, "_esdf_pool_ovf", None) is not None:
+            ovf = bool(self._esdf_pool_ovf)
+            self._esdf_pool_ovf = None
+            if ovf:
+                raise MemoryError(
+                    "ESDF pool overflow; increase MapConfig.max_blocks"
+                )
         if getattr(self, "_esdf_region_ovf", None) is None:
             return
         ovf = bool(self._esdf_region_ovf)
@@ -413,8 +558,10 @@ class IntensityServer(EsdfServer):
 
 class SimulationServer:
     """End-to-end synthetic benchmark (simulation_server.cc): random
-    viewpoints -> render -> integrate TSDF (+occupancy) -> ESDF (both
-    paths) -> evaluate vs GT."""
+    viewpoints -> render -> integrate TSDF (and, with
+    ``generate_occupancy``, occupancy; simulation_server.cc:235-237) ->
+    ESDF from the TSDF (+ from occupancy in batch mode, cc:265-269) ->
+    evaluate every built layer vs GT (cc:279-287)."""
 
     def __init__(
         self,
@@ -429,6 +576,7 @@ class SimulationServer:
         fov_h_deg: float = 90.0,
         max_dist: float = 10.0,
         incremental_esdf: bool = True,
+        generate_occupancy: bool = False,
     ):
         from ..core.config import derive_defaults
 
@@ -449,6 +597,19 @@ class SimulationServer:
         self.esdf_layer = vlayer.make_layer(
             "esdf", voxel_size, vps=vps, max_blocks=max_blocks
         )
+        self.generate_occupancy = generate_occupancy
+        if generate_occupancy:
+            from ..core.config import OccupancyIntegratorConfig
+
+            self.occ_cfg = OccupancyIntegratorConfig(
+                max_ray_length_m=max_dist
+            )
+            self.occ_layer = vlayer.make_layer(
+                "occupancy", voxel_size, vps=vps, max_blocks=max_blocks
+            )
+            self.esdf_occ_layer = vlayer.make_layer(
+                "esdf", voxel_size, vps=vps, max_blocks=max_blocks
+            )
         self.fast_state = tsdf_ops.make_fast_state()
 
     def generate_poses(self, n: int, radius: float = 0.8, seed: int = 0):
@@ -513,6 +674,15 @@ class SimulationServer:
                 )
             jax.block_until_ready(self.tsdf_layer.channels["tsdf"])
         assert not bool(overflow), "pool overflow"
+        if self.generate_occupancy:
+            from ..ops import occupancy as occupancy_ops
+
+            with timing.timer("integrate/occupancy"):
+                self.occ_layer, occ_ovf = occupancy_ops.integrate_pointcloud(
+                    self.occ_layer, pose, pts_C, self.occ_cfg
+                )
+                jax.block_until_ready(self.occ_layer.channels["log_odds"])
+            assert not bool(occ_ovf), "occupancy pool overflow"
         if self.incremental_esdf:
             with timing.timer("esdf/update_esdf"):
                 self.esdf_layer, self.tsdf_layer, overflow, _ = (
@@ -550,5 +720,41 @@ class SimulationServer:
         esdf_eval = evaluation.evaluate_layers_rmse(
             gt_esdf, self.esdf_layer, ignore_behind_test_surface=True
         )
-        return {"tsdf": tsdf_eval, "esdf": esdf_eval,
-                "timing": timing.as_dict()}
+        result = {"tsdf": tsdf_eval, "esdf": esdf_eval}
+        if self.generate_occupancy:
+            from ..ops import occupancy as occupancy_ops
+
+            self.esdf_occ_layer, _, _ = (
+                occupancy_ops.esdf_from_occupancy_batch(
+                    self.esdf_occ_layer, self.occ_layer, self.esdf_cfg
+                )
+            )
+            # Occupancy row: voxelwise classification vs the GT SDF sign
+            # (excluding the +-1-voxel band where the threshold is
+            # ambiguous); the reference publishes the occupancy cloud
+            # and evaluates only the two SDF layers, so this adds a
+            # quantitative stand-in for the visual check.
+            occ = self.occ_layer
+            vpb = occ.voxels_per_block
+            slot_gt = vlayer.lookup_blocks(gt_esdf, occ.block_ijk)
+            sel = occ.active_mask() & (slot_gt >= 0)
+            safe = jnp.where(sel, slot_gt, 0)
+            gt_d = gt_esdf.channels["esdf"].reshape(-1, vpb)[safe]
+            lo = occ.channels["log_odds"].reshape(-1, vpb)
+            obs = (
+                occ.channels["occ_observed"].reshape(-1, vpb) != 0
+            ) & sel[:, None]
+            m = obs & (jnp.abs(gt_d) > self.voxel_size)
+            wrong = (lo > 0.0) != (gt_d <= 0.0)
+            n_eval = int(jnp.sum(m))
+            n_wrong = int(jnp.sum(m & wrong))
+            result["occ"] = {
+                "misclassified_frac": n_wrong / max(1, n_eval),
+                "num_evaluated_voxels": n_eval,
+            }
+            result["esdf_occ"] = evaluation.evaluate_layers_rmse(
+                gt_esdf, self.esdf_occ_layer,
+                ignore_behind_test_surface=True,
+            )
+        result["timing"] = timing.as_dict()
+        return result

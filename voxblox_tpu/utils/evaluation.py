@@ -144,3 +144,43 @@ def is_same_layer(a: vlayer.VoxelLayer, b: vlayer.VoxelLayer,
         elif not np.allclose(ca, cb, atol=atol):
             return False
     return True
+
+
+def evaluate_layer_rmse_at_poses(
+    layer_a: vlayer.VoxelLayer,
+    layer_b: vlayer.VoxelLayer,
+    transforms_a_b,
+    ignore_behind_test_surface: bool = False,
+    return_aligned: bool = False,
+):
+    """Pose-sweep RMSE (merge_integration.h:236-307,
+    evaluateLayerRmseAtPoses): align ``layer_b`` into ``layer_a``'s frame
+    for every (R, t) in ``transforms_a_b`` (inverse-warp trilinear
+    resampling, ops/transform.transform_layer) and evaluate each
+    alignment's RMSE against ``layer_a``.
+
+    Returns a list of VoxelEvaluationDetails (one per transform), or
+    (details, aligned_layers) pairs when ``return_aligned`` — the
+    reference's aligned_layers_and_error_layers output (the per-voxel
+    error layer is derivable from the pair, so it is not materialized).
+    """
+    from ..ops import transform as transform_ops
+
+    assert layer_a.vps == layer_b.vps
+    assert abs(layer_a.voxel_size - layer_b.voxel_size) < 1e-8
+
+    details = []
+    aligned = []
+    for T_a_b in transforms_a_b:
+        aligned_b, _ = transform_ops.transform_layer(layer_b, T_a_b)
+        details.append(
+            evaluate_layers_rmse(
+                layer_a, aligned_b,
+                ignore_behind_test_surface=ignore_behind_test_surface,
+            )
+        )
+        if return_aligned:
+            aligned.append(aligned_b)
+    if return_aligned:
+        return details, aligned
+    return details
