@@ -10,6 +10,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # 8-virtual-device subprocess: minutes
+
 _SCRIPT = r"""
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"

@@ -56,6 +56,38 @@ def make_mesh(n_devices: int | None = None, rays: int | None = None):
     return Mesh(arr, axis_names=("rays", "blocks"))
 
 
+def init_multihost(coordinator_address: str, num_processes: int,
+                   process_id: int, local_device_count: int | None = None):
+    """Initialize the ``jax.distributed`` runtime for a real N-host
+    deployment (SURVEY §5 distributed backend): every host calls this
+    with the same coordinator before any other jax API, then builds the
+    global ('hosts', 'chips') mesh with ``make_multihost_mesh``. On TPU
+    pods the local chips are discovered automatically; on CPU smoke rigs
+    set ``local_device_count`` to fan each process out to N virtual
+    devices (collectives ride Gloo instead of ICI — same program)."""
+    import os
+
+    if local_device_count is not None:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={local_device_count}"
+        )
+    jax.distributed.initialize(
+        coordinator_address, num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_multihost_mesh():
+    """('hosts', 'chips') mesh over the GLOBAL device list (one row per
+    process). Shard rays over both axes — data parallelism whose psum
+    reduces over intra-host ICI first, DCN second — by passing
+    ``ray_axes=('hosts', 'chips')`` to the sharded integrators."""
+    devs = jax.devices()
+    arr = np.asarray(devs).reshape(jax.process_count(), -1)
+    return Mesh(arr, axis_names=("hosts", "chips"))
+
+
 def integrate_pointcloud_sharded(
     mesh: Mesh,
     layer: vlayer.VoxelLayer,
@@ -64,10 +96,13 @@ def integrate_pointcloud_sharded(
     colors,
     cfg,
     use_color: bool = True,
+    ray_axes: tuple = ("rays",),
 ):
     """Ray-sharded simple-integrator step. Points count must be divisible
-    by the 'rays' axis size. Returns (layer, overflowed)."""
-    n_ray_shards = mesh.shape["rays"]
+    by the ray axes' total size. ``ray_axes`` names the mesh axes rays
+    are split over — ('rays',) on a single-host mesh, ('hosts', 'chips')
+    on a make_multihost_mesh. Returns (layer, overflowed)."""
+    n_ray_shards = int(np.prod([mesh.shape[a] for a in ray_axes]))
     assert points_C.shape[0] % n_ray_shards == 0
 
     points_G, origin = tsdf.transform_points(T_G_C, points_C)
@@ -90,12 +125,13 @@ def integrate_pointcloud_sharded(
         layer, setup_all, valid, max_steps
     )
 
+    ray_spec = P(tuple(ray_axes))
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
             P(),  # layer: replicated
-            P("rays"), P("rays"), P("rays"), P("rays"), P("rays"), P(),
+            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, P(),
         ),
         out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
@@ -114,11 +150,11 @@ def integrate_pointcloud_sharded(
             lyr, voxels, mask, sdf, w, cols, cfg, use_color
         )
         # Merge partial sums over the ray axis (ICI all-reduce).
-        d_w = jax.lax.psum(d_w, "rays")
-        d_wd = jax.lax.psum(d_wd, "rays")
-        d_wc = jax.lax.psum(d_wc, "rays")
-        d_wcw = jax.lax.psum(d_wcw, "rays")
-        dirty = jax.lax.psum(dirty.astype(jnp.int32), "rays") > 0
+        d_w = jax.lax.psum(d_w, ray_axes)
+        d_wd = jax.lax.psum(d_wd, ray_axes)
+        d_wc = jax.lax.psum(d_wc, ray_axes)
+        d_wcw = jax.lax.psum(d_wcw, ray_axes)
+        dirty = jax.lax.psum(dirty.astype(jnp.int32), ray_axes) > 0
         return d_w, d_wd, d_wc, d_wcw, dirty
 
     d_w, d_wd, d_wc, d_wcw, dirty = shard_accumulate(
@@ -199,7 +235,7 @@ def integrate_projective_batch_sharded(
     n_shards = mesh.shape["rays"]
     K = Rs.shape[0]
     assert K % n_shards == 0, (
-        f"scan count {K} must divide the 'rays' axis ({n_shards})"
+        f"the 'rays' axis size ({n_shards}) must divide scan count {K}"
     )
     mb = layer.max_blocks
 
