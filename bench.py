@@ -1,15 +1,21 @@
 #!/usr/bin/env python
-"""Benchmark: TSDF integration throughput (points/s) on one chip.
+"""Benchmarks: one JSON line per metric (the driver records them all).
 
-Headline metric mirrors BASELINE.md's derived north-star: the reference's
-fast integrator at 5 cm voxels does 640x480 (~300k-point) Kinect scans in
-23 ms on a quad-core i7 => ~13 M points/s. We integrate 640x480 (307k
-point) scans from varied viewpoints of the cylinder+ground world (the
-test_sdf_integrators scene) at 5 cm voxels with the projective
-(voxel-centric) integrator and report steady-state points/s.
-vs_baseline = ours / 13e6.
+Metrics + baselines (BASELINE.md):
+- tsdf_integration_points_per_sec: reference fast integrator at 5 cm =
+  ~13 M points/s (vs_baseline = ours / 13e6; >= 10 is the target).
+- velodyne_ms_per_scan: reference KITTI 0.2 m / 50 m fast = 44 ms/scan
+  (vs_baseline = 44 / ours).
+- mesh_incremental_ms: reference meshing at 5 cm = 10 ms/scan
+  (vs_baseline = 10 / ours).
+- online_loop_ms_per_scan: reference integrate cadence at 5 cm fast =
+  23 ms/scan (vs_baseline = 23 / ours).
+- esdf_batch_ms, render_rays_per_sec: no published reference numbers
+  (vs_baseline = null).
 
-Prints ONE JSON line; extra detail goes to stderr.
+vs_baseline is always higher-is-better. Sections run most-important
+first and flush each line immediately, so a timeout still records the
+headline numbers. Extra detail goes to stderr.
 """
 
 import json
@@ -17,6 +23,20 @@ import sys
 import time
 
 import numpy as np
+
+
+def emit(metric, value, unit, vs_baseline):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": value,
+                "unit": unit,
+                "vs_baseline": vs_baseline,
+            }
+        ),
+        flush=True,
+    )
 
 
 def main():
@@ -27,14 +47,8 @@ def main():
     import jax.numpy as jnp
 
     from voxblox_tpu.core import layer as vlayer
-    from voxblox_tpu.core.config import (
-        EsdfIntegratorConfig,
-        TsdfIntegratorConfig,
-    )
-    from voxblox_tpu.ops import esdf as esdf_ops
+    from voxblox_tpu.core.config import TsdfIntegratorConfig
     from voxblox_tpu.ops import projective
-    from voxblox_tpu.ops import render as render_ops
-    from voxblox_tpu.ops import tsdf as tsdf_ops
     from voxblox_tpu.sim import world as sw
 
     dev = jax.devices()[0]
@@ -54,12 +68,9 @@ def main():
         default_truncation_distance=4 * voxel, max_ray_length_m=5.0
     )
 
-    # Pre-render scans from a circle of poses (device arrays). The sensor
-    # delivers ORGANIZED (raster-ordered) clouds — like the Kinect's PCL
+    # Pre-render ORGANIZED scans from a circle of poses (like the Kinect
     # organized clouds the reference's cow-and-lady pipeline subscribes
-    # to — enabling the scatter-free min-pool binning path. One jitted
-    # function covers the render (eager chains are slow to warm through
-    # the remote-compile path).
+    # to) — enables the scatter-free min-pool binning path.
     n_poses = 16
     fx = res[0] / (2.0 * np.tan(np.deg2rad(60.0) / 2.0))
     intrinsics = (fx, fx, res[0] / 2.0, res[1] / 2.0)
@@ -85,9 +96,7 @@ def main():
         scans.append((R, pos, pts_C, colors))
     jax.block_until_ready(scans[-1][2])
 
-    # Throughput mode: 16 scans per dispatch (associative accumulation
-    # makes this exactly sequential-equivalent; one dispatch per round
-    # amortizes the remote-dispatch overhead).
+    # ---- 1. TSDF throughput: 16 scans per dispatch ----------------------
     K = 16
     batches = []
     for s0 in range(0, n_poses, K):
@@ -114,14 +123,11 @@ def main():
         float(jnp.sum(layer.channels["weight"][:1]))
         return layer
 
-    # Warmup (compile + allocate).
     print("warmup epoch (integrator compile)...", file=sys.stderr)
     layer = vlayer.make_layer("tsdf", voxel, vps=16, max_blocks=4096)
     layer = run_epoch(layer, 1)
-    print("timing...", file=sys.stderr)
+    print("timing tsdf...", file=sys.stderr)
 
-    # Steady state: re-integrating a live map from varied viewpoints with
-    # the projective (voxel-centric) integrator — the TPU-native fast path.
     rounds = 4
     t0 = time.perf_counter()
     layer = run_epoch(layer, rounds)
@@ -129,54 +135,246 @@ def main():
     scans_done = rounds * n_poses
     points_per_sec = scans_done * n_points / dt
     ms_per_scan = dt / scans_done * 1e3
+    emit("tsdf_integration_points_per_sec", round(points_per_sec),
+         "points/s", round(points_per_sec / 13e6, 2))
+    print(f"tsdf projective: {ms_per_scan:.3f} ms/scan "
+          f"({points_per_sec/1e6:.1f} M points/s); "
+          f"blocks: {int(layer.num_blocks)}", file=sys.stderr)
 
-    baseline = 13e6  # reference fast integrator, 5 cm (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "tsdf_integration_points_per_sec",
-                "value": round(points_per_sec),
-                "unit": "points/s",
-                "vs_baseline": round(points_per_sec / baseline, 2),
-            }
-        ),
-        flush=True,
-    )
+    sections = {
+        "mesh": _bench_mesh,
+        "esdf": _bench_esdf,
+        "velodyne": _bench_velodyne,
+        "online": _bench_online,
+        "render": _bench_render,
+    }
+    import os
 
-    # Secondary numbers (stderr only; best-effort).
-    try:
-        _secondary(jax, jnp, np, layer, voxel, esdf_ops, render_ops,
-                   points_per_sec, ms_per_scan)
-    except Exception as e:  # pragma: no cover
-        print(f"secondary metrics failed: {e}", file=sys.stderr)
+    skip = set(os.environ.get("BENCH_SKIP", "").split(","))
+    for name, fn in sections.items():
+        if name in skip:
+            continue
+        try:
+            fn(jax, jnp, layer=layer, voxel=voxel, objs=objs, scans=scans,
+               cfg=cfg, intrinsics=intrinsics, res=res, virt=virt)
+        except Exception as e:  # pragma: no cover
+            print(f"bench section {name} failed: {e!r}", file=sys.stderr)
 
 
-def _secondary(jax, jnp, np, layer, voxel, esdf_ops, render_ops,
-               points_per_sec, ms_per_scan):
-    import time
-    import sys
+def _bench_mesh(jax, jnp, *, layer, voxel, **_):
+    """Incremental meshing on the device mesh pool: re-mesh a scan's
+    worth of dirty blocks in ONE program (reference: 10 ms/scan, 5 cm,
+    Performance.rst:35-44)."""
+    from voxblox_tpu.core import layer as vlayer
+    from voxblox_tpu.core.config import MeshIntegratorConfig
+    from voxblox_tpu.ops import mesh as mesh_ops
+
+    mcfg = MeshIntegratorConfig()
+    pool = mesh_ops.make_mesh_pool(layer.max_blocks, mcfg.device_tri_cap)
+    active_rows = np.nonzero(np.asarray(layer.active_mask()))[0]
+    bucket = 64
+
+    def one_update(layer, pool, rows):
+        rows_j = jnp.asarray(rows, jnp.int32)
+        layer = vlayer.mark_dirty(
+            layer, rows_j, jnp.ones(len(rows), bool), vlayer.DIRTY_MESH
+        )
+        layer, pool, _ = mesh_ops.update_mesh_pool(
+            layer, pool, mcfg, bucket=bucket, only_updated=True
+        )
+        return layer, pool
+
+    # Warmup/compile + fill the whole pool once (drain all active rows).
+    for s in range(0, len(active_rows), bucket):
+        layer, pool = one_update(layer, pool, active_rows[s : s + bucket])
+    float(jnp.sum(pool.counts[:1]))
+
+    # Steady state: a scan dirties ~a bucket of blocks; vary the row set
+    # per call (identical dispatches can be memoized in the tunnel).
+    rng = np.random.default_rng(0)
+    times = []
+    for g in range(5):
+        rows = rng.choice(active_rows, size=min(bucket, len(active_rows)),
+                          replace=False)
+        t0 = time.perf_counter()
+        layer, pool = one_update(layer, pool, rows)
+        float(jnp.sum(pool.counts[:1]))
+        times.append((time.perf_counter() - t0) * 1e3)
+    ms = sorted(times)[len(times) // 2]
+    emit("mesh_incremental_ms", round(ms, 2), "ms", round(10.0 / ms, 2))
+    print(f"mesh incremental: {times} -> median {ms:.1f} ms "
+          f"({bucket} blocks/update)", file=sys.stderr)
+
+
+def _bench_esdf(jax, jnp, *, layer, voxel, **_):
     from voxblox_tpu.core import layer as vlayer
     from voxblox_tpu.core.config import EsdfIntegratorConfig
+    from voxblox_tpu.ops import esdf as esdf_ops
 
-    # Fused Pallas relaxation, 4 unit sweeps per halo exchange (123 ms vs
-    # 133 ms for the XLA path). The jump-flooding stride schedule
-    # (sweep_strides) is NOT used here: its soundness gate restricts
-    # jumps to fully-observed sign-uniform blocks, and on this
-    # partially-observed (frustum-carved) map almost no block qualifies,
-    # so it degenerates to one unit sweep per exchange.
     ecfg = EsdfIntegratorConfig(
-        max_distance_m=2.0, default_distance_m=2.0, min_distance_m=2 * voxel,
-        max_active_blocks=1024, use_pallas_kernel=True, inner_sweeps=4,
+        max_distance_m=2.0, default_distance_m=2.0,
+        min_distance_m=2 * voxel, max_active_blocks=1024,
+        use_pallas_kernel=True, inner_sweeps=4,
+        sweep_strides=(8, 4, 2, 1, 1, 1, 1),
     )
-    esdf_layer = vlayer.make_layer("esdf", voxel, vps=16, max_blocks=4096)
-    esdf_layer, _, _ = esdf_ops.update_from_tsdf_batch(esdf_layer, layer, ecfg)
-    jax.block_until_ready(esdf_layer.channels["esdf"])
+    ecfg_unit = EsdfIntegratorConfig(
+        max_distance_m=2.0, default_distance_m=2.0,
+        min_distance_m=2 * voxel, max_active_blocks=1024,
+        use_pallas_kernel=True, inner_sweeps=4,
+    )
+
+    def run(cfg_, n):
+        esdf_layer = vlayer.make_layer("esdf", voxel, vps=16,
+                                       max_blocks=4096)
+        esdf_layer, _, iters = esdf_ops.update_from_tsdf_batch(
+            esdf_layer, layer, cfg_
+        )
+        jax.block_until_ready(esdf_layer.channels["esdf"])
+        times = []
+        for _ in range(n):
+            e2 = vlayer.make_layer("esdf", voxel, vps=16, max_blocks=4096)
+            t0 = time.perf_counter()
+            e2, _, iters = esdf_ops.update_from_tsdf_batch(e2, layer, cfg_)
+            jax.block_until_ready(e2.channels["esdf"])
+            times.append((time.perf_counter() - t0) * 1e3)
+        return sorted(times)[len(times) // 2], int(iters)
+
+    ms_unit, it_u = run(ecfg_unit, 3)
+    ms_strided, it_s = run(ecfg, 3)
+    best = min(ms_unit, ms_strided)
+    emit("esdf_batch_ms", round(best, 1), "ms", None)
+    print(f"esdf batch: unit {ms_unit:.1f} ms ({it_u} outers), "
+          f"strided {ms_strided:.1f} ms ({it_s} outers)", file=sys.stderr)
+
+
+def _bench_velodyne(jax, jnp, *, objs=None, **_):
+    """KITTI-style velodyne: 2048x64 spherical scans, 0.2 m / 50 m
+    (reference fast: 44 ms/scan, Performance.rst:102-103). Street-like
+    scene with long rays — the anisotropic-footprint projective path."""
+    from voxblox_tpu.core import layer as vlayer
+    from voxblox_tpu.core.config import TsdfIntegratorConfig
+    from voxblox_tpu.ops import projective as P
+    from voxblox_tpu.sim import world as sw
+
+    w = sw.SimulationWorld()
+    w.add_ground_level(0.0)
+    w.add_plane((0.0, 12.0, 5.0), (0.0, -1.0, 0.0), color=(180, 160, 140))
+    w.add_plane((0.0, -12.0, 5.0), (0.0, 1.0, 0.0), color=(140, 160, 180))
+    rng = np.random.RandomState(0)
+    for _i in range(12):
+        x = rng.uniform(-40, 40)
+        y = rng.uniform(-9, 9)
+        w.add_cylinder((x, y, 2.5), rng.uniform(0.2, 1.0), 5.0,
+                       color=(30, 200, 30))
+    vobjs = w.freeze()
+
+    RESO = (2048, 64)
+    VOXEL = 0.2
+    vcfg = TsdfIntegratorConfig(
+        default_truncation_distance=4 * VOXEL, max_ray_length_m=50.0,
+        voxel_carving_enabled=False,
+    )
+
+    @jax.jit
+    def make_scan(pos):
+        R = jnp.eye(3)
+        pts_C, cols, valid = sw.spherical_pointcloud_from_transform(
+            vobjs, (R, pos), RESO, fov_up_deg=3.0, fov_down_deg=-25.0,
+            max_dist=50.0,
+        )
+        return pts_C, cols
+
+    K = 16
+    poses = [jnp.asarray([-20.0 + 2.5 * i, 0.0, 2.0], jnp.float32)
+             for i in range(K)]
+    vscans = [make_scan(p) for p in poses]
+    jax.block_until_ready(vscans[-1][0])
+    Rs = jnp.stack([jnp.eye(3)] * K)
+    ts_ = jnp.stack(poses)
+    pts = jnp.stack([s[0] for s in vscans])
+    cols = jnp.stack([s[1] for s in vscans])
+
+    vlayer_ = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=16384)
+
+    def run(l, i):
+        l, ovf = P.integrate_pointcloud_projective_batch(
+            l, Rs, ts_ + i * 1e-5, pts, cols, vcfg,
+            resolution=RESO, kind="spherical_organized",
+            fov_up_deg=3.0, fov_down_deg=-25.0,
+            max_visible_blocks=3072, max_mixed_slabs=16384,
+            max_free_slabs=512,
+        )
+        return l, ovf
+
+    print("velodyne compile...", file=sys.stderr)
+    vlayer_, ovf = run(vlayer_, 0)
+    jax.block_until_ready(vlayer_.channels["tsdf"])
+    reps = 3
     t0 = time.perf_counter()
-    esdf_layer2, _, iters = esdf_ops.update_from_tsdf_batch(
-        esdf_layer, layer, ecfg
+    for i in range(reps):
+        vlayer_, ovf = run(vlayer_, i + 1)
+    float(jnp.sum(vlayer_.channels["weight"][:1]))
+    ms = (time.perf_counter() - t0) / (reps * K) * 1e3
+    emit("velodyne_ms_per_scan", round(ms, 2), "ms", round(44.0 / ms, 2))
+    print(f"velodyne 0.2m/50m: {ms:.2f} ms/scan "
+          f"(overflow={bool(ovf)})", file=sys.stderr)
+
+
+def _bench_online(jax, jnp, *, voxel, scans, cfg, intrinsics, res, virt,
+                  **_):
+    """Scan-at-a-time server loop (integrate + incremental ESDF per scan
+    — the tsdf_server.cc:407-414 + esdf_server.cc:192-197 cadence).
+    Reference integrate cadence at 5 cm fast: 23 ms/scan."""
+    from voxblox_tpu.core.config import (
+        EsdfIntegratorConfig,
+        MapConfig,
+        TsdfIntegratorConfig,
     )
-    jax.block_until_ready(esdf_layer2.channels["esdf"])
-    esdf_ms = (time.perf_counter() - t0) * 1e3
+    from voxblox_tpu.server.mapper import EsdfServer
+
+    srv = EsdfServer(
+        map_config=MapConfig(voxel_size=voxel, max_blocks=4096),
+        integrator_config=cfg,
+        esdf_config=EsdfIntegratorConfig(
+            max_distance_m=2.0, default_distance_m=2.0,
+            min_distance_m=2 * voxel, max_active_blocks=1024,
+            use_pallas_kernel=True, inner_sweeps=4,
+        ),
+        method="projective",
+        projective_resolution=virt,
+        projective_fov_deg=60.0,
+        projective_max_visible_blocks=256,
+        projective_max_mixed_slabs=2048,
+        projective_max_free_slabs=512,
+        overflow_check_interval=16,
+    )
+    def step(i):
+        R, pos, pts_C, cols = scans[i % len(scans)]
+        srv.insert_pointcloud_and_update_esdf(
+            (R, pos), pts_C.reshape(-1, 3), cols.reshape(-1, 3)
+        )
+
+    print("online-loop compile...", file=sys.stderr)
+    for i in range(4):
+        step(i)
+    srv.check_overflow()
+    float(jnp.sum(srv.esdf_layer.channels["esdf"][:1]))
+
+    n = 12
+    t0 = time.perf_counter()
+    for i in range(n):
+        step(4 + i)
+    float(jnp.sum(srv.esdf_layer.channels["esdf"][:1]))
+    ms = (time.perf_counter() - t0) / n * 1e3
+    srv.check_overflow()
+    emit("online_loop_ms_per_scan", round(ms, 1), "ms",
+         round(23.0 / ms, 2))
+    print(f"online loop: {ms:.1f} ms/scan (integrate + incremental esdf)",
+          file=sys.stderr)
+
+
+def _bench_render(jax, jnp, *, layer, **_):
+    from voxblox_tpu.ops import render as render_ops
 
     n_rays = 65536
     ang = np.linspace(-0.4, 0.4, n_rays).astype(np.float32)
@@ -196,19 +394,14 @@ def _secondary(jax, jnp, np, layer, voxel, esdf_ops, render_ops,
             # Vary the origin per call: identical inputs can be memoized
             # somewhere in the remote-TPU path (see CLAUDE.md).
             depth, hit = render_ops.render_depth(
-                layer, origins + np.float32(1e-4 * (4 * g + i + 1)), dirs, 8.0
+                layer, origins + np.float32(1e-4 * (4 * g + i + 1)), dirs,
+                8.0,
             )
         float(depth[0])  # readback-forced sync
         times.append(time.perf_counter() - t0)
     rays_per_sec = 4 * n_rays / sorted(times)[1]
-
-    print(
-        f"tsdf projective: {ms_per_scan:.3f} ms/scan ({points_per_sec/1e6:.1f} M "
-        f"points/s); esdf batch: {esdf_ms:.1f} ms ({int(iters)} sweeps); "
-        f"render: {rays_per_sec/1e6:.2f} M rays/s; "
-        f"blocks: {int(layer.num_blocks)}",
-        file=sys.stderr,
-    )
+    emit("render_rays_per_sec", round(rays_per_sec), "rays/s", None)
+    print(f"render: {rays_per_sec/1e6:.2f} M rays/s", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -54,7 +54,7 @@ def test_icp_recovers_yaw_translation():
     R_bad = Rz @ R_true
     t_bad = t_true + jnp.asarray([0.05, -0.04, 0.03])
 
-    cfg = IcpConfig(mini_batch_size=64, iterations=1,
+    cfg = IcpConfig(mini_batch_size=64,
                     inital_translation_weighting=10.0,
                     inital_rotation_weighting=10.0)
     res = vicp.run_icp(layer, pts_C, (R_bad, t_bad), cfg)
@@ -67,3 +67,50 @@ def test_icp_recovers_yaw_translation():
     r_err_after = float(jnp.linalg.norm(lie.so3_log(res.R @ R_true.T)))
     assert t_err_after < 0.6 * t_err_before, (t_err_before, t_err_after)
     assert r_err_after < 0.7 * r_err_before, (r_err_before, r_err_after)
+    # Convergence to tolerance: the refined pose must land within ~half a
+    # voxel / half a degree of the truth, not merely improve.
+    assert t_err_after < 0.045, t_err_after
+    assert r_err_after < np.deg2rad(0.75), r_err_after
+
+
+def test_icp_recovers_roll_pitch_when_enabled():
+    """refine_roll_pitch=True (3-dof Kabsch) must reduce a roll/pitch
+    perturbation that the default yaw-only mode cannot correct
+    (reference getRotationFromMatchedPoints<3>, icp.h:139-173)."""
+    objs, layer = _scene()
+    R_true = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    t_true = jnp.asarray([-3.0, 0.5, 1.0])
+    pts_G, _, valid = sw.pointcloud_from_transform(
+        objs, (R_true, t_true), (64, 48), np.deg2rad(70.0), 8.0
+    )
+    pts_C = sw.world_points_to_sensor((R_true, t_true), pts_G, valid)
+
+    # Perturb about a WORLD-horizontal axis (roll/pitch, no yaw).
+    ang = np.deg2rad(2.0)
+    Rx = jnp.asarray(
+        [
+            [1.0, 0.0, 0.0],
+            [0.0, np.cos(ang), -np.sin(ang)],
+            [0.0, np.sin(ang), np.cos(ang)],
+        ],
+        jnp.float32,
+    )
+    R_bad = Rx @ R_true
+    t_bad = t_true + jnp.asarray([0.02, -0.03, 0.04])
+
+    cfg = IcpConfig(mini_batch_size=64, refine_roll_pitch=True,
+                    inital_translation_weighting=10.0,
+                    inital_rotation_weighting=10.0)
+    res = vicp.run_icp(layer, pts_C, (R_bad, t_bad), cfg)
+    r_err_before = float(jnp.linalg.norm(lie.so3_log(R_bad @ R_true.T)))
+    r_err_after = float(jnp.linalg.norm(lie.so3_log(res.R @ R_true.T)))
+    assert r_err_after < 0.6 * r_err_before, (r_err_before, r_err_after)
+
+    # Yaw-only mode must leave the roll/pitch component uncorrected.
+    cfg_yaw = IcpConfig(mini_batch_size=64, refine_roll_pitch=False,
+                        inital_translation_weighting=10.0,
+                        inital_rotation_weighting=10.0)
+    res_yaw = vicp.run_icp(layer, pts_C, (R_bad, t_bad), cfg_yaw)
+    rp_after = float(jnp.linalg.norm(lie.so3_log(res_yaw.R @ R_true.T)[:2]))
+    rp_before = float(jnp.linalg.norm(lie.so3_log(R_bad @ R_true.T)[:2]))
+    assert rp_after > 0.5 * rp_before, (rp_before, rp_after)
