@@ -114,3 +114,34 @@ def test_icp_recovers_roll_pitch_when_enabled():
     rp_after = float(jnp.linalg.norm(lie.so3_log(res_yaw.R @ R_true.T)[:2]))
     rp_before = float(jnp.linalg.norm(lie.so3_log(R_bad @ R_true.T)[:2]))
     assert rp_after > 0.5 * rp_before, (rp_before, rp_after)
+
+
+def test_icp_information_weighting_dampens_updates():
+    """The information-vector blend (icp.cc:186-215): a huge initial
+    prior information must hold the pose ~fixed while a weak prior lets
+    the same matches correct it — the regression for the w = est_info /
+    (base_info + est_info) weighting."""
+    objs, layer = _scene()
+    R_true = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    t_true = jnp.asarray([-3.0, 0.5, 1.0])
+    pts_G, _, valid = sw.pointcloud_from_transform(
+        objs, (R_true, t_true), (64, 48), np.deg2rad(70.0), 8.0
+    )
+    pts_C = sw.world_points_to_sensor((R_true, t_true), pts_G, valid)
+    t_bad = t_true + jnp.asarray([0.06, -0.05, 0.04])
+
+    def err(weighting):
+        cfg = IcpConfig(mini_batch_size=64,
+                        inital_translation_weighting=weighting,
+                        inital_rotation_weighting=weighting)
+        res = vicp.run_icp(layer, pts_C, (R_true, t_bad), cfg)
+        return float(jnp.linalg.norm(res.t - t_true))
+
+    e0 = float(jnp.linalg.norm(t_bad - t_true))
+    e_weak = err(10.0)
+    e_strong = err(1e7)
+    assert e_weak < 0.7 * e0, (e0, e_weak)
+    # A (near-)infinite prior keeps the pose essentially unmoved.
+    assert e_strong > 0.9 * e0, (e0, e_strong)
+    # And the damping is monotone in the prior strength.
+    assert e_weak < e_strong, (e_weak, e_strong)
