@@ -223,18 +223,31 @@ def _bench_esdf(jax, jnp, *, layer, voxel, **_):
         use_pallas_kernel=True, inner_sweeps=4,
     )
 
+    import dataclasses
+
+    # Distinct inputs per timed call: identical dispatches can be
+    # memoized in the remote-TPU path (see CLAUDE.md).
+    def perturbed(i):
+        ch = dict(layer.channels)
+        ch["tsdf"] = ch["tsdf"] + np.float32(1e-6 * i)
+        return dataclasses.replace(layer, channels=ch)
+
+    layers = [perturbed(i) for i in range(4)]
+
     def run(cfg_, n):
         esdf_layer = vlayer.make_layer("esdf", voxel, vps=16,
                                        max_blocks=4096)
         esdf_layer, _, iters = esdf_ops.update_from_tsdf_batch(
-            esdf_layer, layer, cfg_
+            esdf_layer, layers[0], cfg_
         )
         jax.block_until_ready(esdf_layer.channels["esdf"])
         times = []
-        for _ in range(n):
+        for i in range(n):
             e2 = vlayer.make_layer("esdf", voxel, vps=16, max_blocks=4096)
             t0 = time.perf_counter()
-            e2, _, iters = esdf_ops.update_from_tsdf_batch(e2, layer, cfg_)
+            e2, _, iters = esdf_ops.update_from_tsdf_batch(
+                e2, layers[1 + i], cfg_
+            )
             jax.block_until_ready(e2.channels["esdf"])
             times.append((time.perf_counter() - t0) * 1e3)
         return sorted(times)[len(times) // 2], int(iters)
