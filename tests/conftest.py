@@ -19,7 +19,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # Persistent compilation cache: compile each test kernel once, ever.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# Overridable so a test run can use a private dir when another process
+# (e.g. a TPU bench) is writing the shared cache concurrently — two
+# writers segfault inside jax's cache-write path.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("VOXBLOX_TEST_JAX_CACHE", "/root/repo/.jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -382,9 +382,55 @@ def make_mesh_pool(max_blocks: int, tri_cap: int = 512) -> MeshPool:
     )
 
 
+def _plus_halo_sel(values, nbr8, fill, v):
+    """Plus-side halo cubes for SELECTED rows.
+
+    values: [mb, v, v, v] pool channel; nbr8: int32[B, 8] pool slots of
+    each selected row's {0,1}^3 neighborhood (k = oz*4 + oy*2 + ox,
+    center k=0; -1 missing). Returns [B, v+1, v+1, v+1]. Cube corner
+    taps only ever read indices 0..v (cubes span voxel centers i..i+1),
+    so the minus-side halo of the old 27-neighbor build was dead weight —
+    and clamp-and-mask gathers avoid the full-pool pad/concat copies the
+    old path paid per channel (measured ~2.7 ms/channel at mb=4096)."""
+    mb = values.shape[0]
+    b = nbr8.shape[0]
+
+    def rows_at(k):
+        sel = nbr8[:, k]
+        r = values[jnp.clip(sel, 0, mb - 1)]
+        return jnp.where((sel >= 0)[:, None, None, None], r, fill)
+
+    padded = jnp.full((b, v + 1, v + 1, v + 1), fill, values.dtype)
+    padded = padded.at[:, :v, :v, :v].set(rows_at(0))
+    full, one = slice(0, v), slice(v, v + 1)
+    first = slice(0, 1)
+    for k in range(1, 8):
+        oz, oy, ox = (k >> 2) & 1, (k >> 1) & 1, k & 1
+        dst = (slice(None), one if oz else full, one if oy else full,
+               one if ox else full)
+        src = (slice(None), first if oz else full, first if oy else full,
+               first if ox else full)
+        padded = padded.at[dst].set(rows_at(k)[src])
+    return padded
+
+
+def _nbr8_for_rows(layer: vlayer.VoxelLayer, rows, row_ok):
+    """int32[B, 8] pool slots of each selected row's +1 neighborhood
+    (k = oz*4 + oy*2 + ox). B*8 hash probes — the old full-pool
+    27-neighbor table cost ~4.7 ms/update at mb=4096."""
+    offs = np.array(
+        [[(k & 1), (k >> 1) & 1, (k >> 2) & 1] for k in range(8)], np.int32
+    )  # [8, 3] (x, y, z)
+    safe_rows = jnp.where(row_ok, rows, 0)
+    nbr_ijk = layer.block_ijk[safe_rows][:, None, :] + offs[None]
+    slots = vlayer.lookup_blocks(layer, nbr_ijk)
+    return jnp.where(row_ok[:, None], slots, -1)
+
+
 @partial(jax.jit,
          static_argnames=("min_weight", "use_color", "bucket",
-                          "only_updated"))
+                          "only_updated"),
+         donate_argnums=(0, 1))
 def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
                           min_weight: float, use_color: bool, bucket: int,
                           only_updated: bool):
@@ -396,6 +442,14 @@ def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
     program (unprocessed rows beyond the bucket stay dirty and are
     picked up by the next call — ``more`` flags that).
 
+    COMPACT-FIRST march: the dense phase computes only per-cube sign
+    configs and corner validity (pure vector math over B*vps^3 cubes);
+    every gather, edge interpolation and color lookup runs on the
+    compacted surface-cube set (<= B*tri_cap cubes). The previous dense
+    march materialized [B, vps^3, 5, 3, 3] triangle buffers and resolved
+    them with a 3.9M-index vertex gather (~39 ms/update at B=64; the
+    whole dense pipeline was ~100 ms device).
+
     Returns (layer, pool, more: bool[]).
     """
     if only_updated:
@@ -406,39 +460,150 @@ def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
     more = jnp.sum(mask) > bucket
     row_ok = rows >= 0
 
-    tv, tm, corner_pos, corner_color = _march_core(
-        layer, rows, min_weight, use_color
-    )
+    v = layer.vps
     b = bucket
     cap = pool.tri_cap
-    tm2 = tm.reshape(b, -1)  # [B, C*5]
-    counts_full = jnp.sum(tm2, axis=1).astype(jnp.int32)
-    # Per-block slot position; triangles beyond tri_cap are dropped (the
-    # row is flagged in overflow_rows — export re-meshes those via the
-    # dense host fallback).
-    pos = jnp.cumsum(tm2, axis=1).astype(jnp.int32) - tm2
-    keep = tm2 & (pos < cap)
+    nbr8 = _nbr8_for_rows(layer, rows, row_ok)
+
+    if layer.layer_type == "esdf":
+        sdf_pad = _plus_halo_sel(layer.channels["esdf"], nbr8,
+                                 jnp.float32(0.0), v)
+        flags_pad = _plus_halo_sel(layer.channels["esdf_flags"], nbr8,
+                                   jnp.uint8(0), v)
+        w_pad = ((flags_pad & vlayer.ESDF_OBSERVED) != 0).astype(jnp.float32)
+        min_weight = 0.5  # validity = observed flag
+        sdf_channel = "esdf"
+    else:
+        sdf_pad = _plus_halo_sel(layer.channels["tsdf"], nbr8,
+                                 jnp.float32(0.0), v)
+        w_pad = _plus_halo_sel(layer.channels["weight"], nbr8,
+                               jnp.float32(0.0), v)
+        sdf_channel = "tsdf"
+
+    # ---- dense phase: sign config + validity only ----------------------
+    config = jnp.zeros((b, v, v, v), jnp.int32)
+    valid = row_ok[:, None, None, None]
+    for i, (cx, cy, cz) in enumerate(np.asarray(mc.CORNERS)):
+        sl = (slice(None), slice(cz, cz + v), slice(cy, cy + v),
+              slice(cx, cx + v))
+        config = config | jnp.where(sdf_pad[sl] < 0.0, 1 << i, 0)
+        valid = valid & (w_pad[sl] > min_weight)
+    # TRI_COUNT[0] = TRI_COUNT[255] = 0: empty/full cubes drop out here.
+    counts_cube = jnp.where(
+        valid, jnp.asarray(mc.TRI_COUNT)[config], 0
+    ).reshape(b, v**3)
+
+    cum = jnp.cumsum(counts_cube, axis=1)
+    start = cum - counts_cube  # [B, v^3] triangle slot of each cube
+    counts_full = cum[:, -1]
     counts = jnp.minimum(counts_full, cap)
     ovf = counts_full > cap
 
-    # Global block-major compaction (bounded by B*cap thanks to ``keep``).
-    n_flat = b * tm2.shape[1]
-    max_tris = b * cap
-    ids = jnp.nonzero(keep.reshape(-1), size=max_tris, fill_value=n_flat)[0]
-    packed = _pack_compacted(tv, corner_pos, corner_color, ids, n_flat,
-                             max_tris)
-    packed_ext = jnp.concatenate(
-        [packed, jnp.zeros((1, 12), jnp.float32)], axis=0
-    )
+    # ---- compact surface cubes (start < cap => <= B*cap kept) ----------
+    n_cubes = b * v**3
+    t_budget = b * cap
+    keep_cube = (counts_cube > 0) & (start < cap)
+    cid = jnp.nonzero(keep_cube.reshape(-1), size=t_budget,
+                      fill_value=n_cubes)[0]
+    ok = cid < n_cubes
+    safe_cid = jnp.where(ok, cid, 0)
+    cb = (safe_cid // v**3).astype(jnp.int32)
+    cc = safe_cid % v**3
+    cz = cc // (v * v)
+    cy = (cc // v) % v
+    cx = cc % v
 
-    # Re-expand to per-block fixed-capacity rows with ONE row gather
-    # (indices = B*cap rows of 12 — row width is nearly free on TPU),
-    # then scatter B full rows into the pool.
-    starts = jnp.cumsum(counts) - counts
-    t_idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    gidx = jnp.where(t_idx < counts[:, None],
-                     starts[:, None] + t_idx, max_tris)
-    content = packed_ext[gidx].reshape(b, cap * 12)
+    # Corner taps straight from the pool (k = oz*4+oy*2+ox neighbor).
+    corners = np.asarray(mc.CORNERS)  # [8,3] (x,y,z)
+    tx = cx[:, None] + corners[None, :, 0]
+    ty = cy[:, None] + corners[None, :, 1]
+    tz = cz[:, None] + corners[None, :, 2]
+    k8 = (tz // v) * 4 + (ty // v) * 2 + (tx // v)
+    tap_row = jnp.take_along_axis(nbr8[cb], k8, axis=1)  # [T,8]
+    tap_vox = (tz % v) * v * v + (ty % v) * v + (tx % v)
+    mb = layer.max_blocks
+    tap_flat = jnp.clip(tap_row, 0, mb - 1) * v**3 + tap_vox
+    csdf = layer.channels[sdf_channel].reshape(mb * v**3)[tap_flat]
+    csdf = jnp.where(tap_row >= 0, csdf, 0.0)  # [T,8]
+
+    # Corner world positions (pure arithmetic; SDF samples at centers).
+    safe_rows = jnp.where(row_ok, rows, 0)
+    block_origin = (
+        layer.block_ijk[safe_rows[cb]].astype(jnp.float32)
+        * layer.block_size
+    )  # [T,3]
+    base = jnp.stack([cx, cy, cz], -1).astype(jnp.float32)  # [T,3]
+    cpos = (
+        block_origin[:, None, :]
+        + (base[:, None, :] + corners[None].astype(np.float32) + 0.5)
+        * layer.voxel_size
+    )  # [T,8,3]
+
+    # Edge zero-crossing lerp (marching_cubes.h:127-162).
+    e0 = jnp.asarray(mc.EDGES[:, 0])
+    e1 = jnp.asarray(mc.EDGES[:, 1])
+    s0 = csdf[:, e0]
+    s1 = csdf[:, e1]
+    t = s0 / jnp.where(jnp.abs(s0 - s1) < 1e-12, 1e-12, s0 - s1)
+    t = jnp.clip(t, 0.0, 1.0)
+    p0 = cpos[:, e0, :]
+    p1 = cpos[:, e1, :]
+    edge_pts = p0 + t[:, :, None] * (p1 - p0)  # [T,12,3]
+
+    config_c = jnp.zeros(csdf.shape[:1], jnp.int32)
+    for i in range(8):
+        config_c = config_c | jnp.where(csdf[:, i] < 0.0, 1 << i, 0)
+    table = jnp.asarray(mc.TRI_TABLE, jnp.int32)
+    ids15 = jnp.maximum(table[config_c][:, : mc.MAX_TRIS * 3], 0)  # [T,15]
+    count_c = jnp.asarray(mc.TRI_COUNT)[config_c]
+
+    # Edge-vertex selection WITHOUT a per-vertex random gather: one-hot
+    # contraction over the 12 edges (the old take_along_axis over the
+    # dense cube set was a 3.9M-index gather at ~100 M idx/s).
+    onehot = (ids15[:, :, None]
+              == jnp.arange(12)[None, None, :]).astype(jnp.float32)
+    tv_c = jnp.einsum("tke,ted->tkd", onehot, edge_pts,
+                      precision=jax.lax.Precision.HIGHEST)  # [T,15,3]
+    verts = tv_c.reshape(-1, mc.MAX_TRIS, 3, 3)  # [T,5,3,3]
+
+    if use_color:
+        colf = layer.channels["color"].reshape(mb * v**3, 3)
+        ccol = colf[tap_flat]  # [T,8,3]
+        ccol = jnp.where((tap_row >= 0)[..., None], ccol, 0.0)
+        d2 = jnp.sum(
+            (verts[:, :, :, None, :] - cpos[:, None, None, :, :]) ** 2,
+            axis=-1,
+        )  # [T,5,3,8]
+        nearest = jnp.argmin(d2, axis=-1)  # [T,5,3]
+        cols = jnp.take_along_axis(
+            ccol[:, None, :, :],
+            nearest[..., None],
+            axis=2,
+        )  # [T,5,3,3]
+        cu = jnp.clip(cols, 0, 255).astype(jnp.uint32)
+        cw = cu[..., 0] | (cu[..., 1] << 8) | (cu[..., 2] << 16)  # [T,5,3]
+    else:
+        cw = jnp.zeros(verts.shape[:3], jnp.uint32)
+
+    packed = jnp.concatenate(
+        [verts.reshape(-1, mc.MAX_TRIS, 9),
+         jax.lax.bitcast_convert_type(cw, jnp.float32)],
+        axis=-1,
+    )  # [T,5,12]
+
+    # Scatter each kept triangle straight to its (block, slot) row —
+    # slots are known (per-block running start + intra-cube position),
+    # so no second compaction / re-expansion gather is needed.
+    start_c = start.reshape(-1)[safe_cid]
+    tidx = jnp.arange(mc.MAX_TRIS, dtype=jnp.int32)[None, :]
+    slot = start_c[:, None] + tidx  # [T,5]
+    keep_tri = ok[:, None] & (tidx < count_c[:, None]) & (slot < cap)
+    dst = jnp.where(keep_tri, cb[:, None] * cap + slot, t_budget)
+    content = jnp.zeros((t_budget, 12), jnp.float32)
+    content = content.at[dst.reshape(-1)].set(
+        packed.reshape(-1, 12), mode="drop", unique_indices=True
+    )
+    content = content.reshape(b, cap * 12)
 
     wr = jnp.where(row_ok, rows, pool.max_blocks)
     tris = pool.tris.at[wr].set(content, mode="drop", unique_indices=True)
