@@ -1,13 +1,15 @@
 """Trace the device-resident incremental mesh update (dev tool)."""
-import sys, time
+import os, sys, time
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _REPO)
 from voxblox_tpu.core import layer as vlayer
 from voxblox_tpu.core.config import MeshIntegratorConfig, TsdfIntegratorConfig
 from voxblox_tpu.ops import mesh as mesh_ops

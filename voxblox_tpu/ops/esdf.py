@@ -791,6 +791,73 @@ def _stride_codes_2d(d20, o2, f2, nbr_pad, bt: int, strides):
     return code[:rows], code[rows:]
 
 
+def stride_gate_stats(esdf_layer, cfg: EsdfIntegratorConfig):
+    """Diagnostic: per-level admission counts of the strided-jump erosion
+    gate — how many observed voxels (and blocks containing any) may take
+    each stride-k jump of ``cfg.sweep_strides`` on the CURRENT field.
+
+    Observedness, fixedness and voxel signs are static across sweeps
+    (the stride-1 flip rule caps magnitudes, never flips a sign), so
+    codes computed from the converged field equal the ones the sweep
+    used at seed time. Full-pool build (no working-set compaction):
+    this is bench/debug instrumentation, not a latency path.
+
+    Returns a dict with ``radii`` (per-level Chebyshev radii),
+    ``admitted_voxels``/``admitted_blocks`` (per level, host ints),
+    ``observed_voxels`` and ``active_blocks``.
+    """
+    from .pallas import esdf_relax as _pk
+
+    if esdf_layer.vps != 16:
+        raise ValueError("stride gate requires vps=16 (Pallas layout)")
+    radii = _pk.stride_radii(cfg.sweep_strides or ())
+    active = esdf_layer.active_mask()
+    flags = jnp.where(
+        active[:, None, None, None],
+        esdf_layer.channels["esdf_flags"], np.uint8(0),
+    )
+    obs = (flags & OBS) != 0
+    out = {
+        "radii": tuple(radii),
+        "active_blocks": int(jnp.sum(active)),
+        "observed_voxels": int(jnp.sum(obs)),
+        "admitted_voxels": [],
+        "admitted_blocks": [],
+    }
+    if not radii:
+        return out
+    nbr = neighbor_slot_table(esdf_layer)
+    fixed = (flags & FIX) != 0
+    d = esdf_layer.channels["esdf"]
+    d20 = _pk.to_2d(_padded(esdf_layer, d, nbr, jnp.float32(0.0)))
+    o2 = _pk.to_2d(
+        _padded(esdf_layer, obs.astype(jnp.float32), nbr, jnp.float32(0.0))
+    )
+    f2 = _pk.to_2d(
+        _padded(esdf_layer, fixed.astype(jnp.float32), nbr,
+                jnp.float32(0.0))
+    )
+    bt = o2.shape[0] // 18
+    mb = esdf_layer.max_blocks
+    nbr_pad = (
+        jnp.concatenate([nbr, jnp.full((bt - mb, 27), -1, nbr.dtype)], 0)
+        if bt > mb else nbr
+    )
+    cp, cn = _stride_codes_2d(d20, o2, f2, nbr_pad, bt, cfg.sweep_strides)
+    interior = _pk.interior_mask_2d(d20.shape[0]) > 0.5
+    code = jnp.where(interior, jnp.maximum(cp, cn), 0.0)
+    per_block = _pk.from_2d(code, mb)  # [mb, 18, 18, 18]
+    vox, blk = [], []
+    for lvl in range(1, len(radii) + 1):
+        hit = per_block >= lvl
+        vox.append(jnp.sum(hit))
+        blk.append(jnp.sum(jnp.any(hit, axis=(1, 2, 3))))
+    vals = jax.device_get((vox, blk))
+    out["admitted_voxels"] = [int(x) for x in vals[0]]
+    out["admitted_blocks"] = [int(x) for x in vals[1]]
+    return out
+
+
 def _padded(view_layer, values, nbr, fill):
     """build_padded variant that takes the row count from ``values`` (the
     compact working set) rather than the layer's pool size."""
@@ -993,6 +1060,23 @@ def update_from_tsdf_incremental_deferred(
     update_from_tsdf_batch, which rebuilds the exact field."""
     run_cfg = _bucketed_cfg(cfg, esdf_layer, tsdf_layer)
     return _incremental_jit(esdf_layer, tsdf_layer, run_cfg)
+
+
+def presize_bucket(cfg: EsdfIntegratorConfig, esdf_layer, n_blocks: int):
+    """Pre-size the cached sweep working-set bucket to cover ``n_blocks``
+    active blocks. Call before a latency-critical window (an online loop,
+    a timed bench) when the final map size is known: bucket GROWTH is a
+    new static config -> a recompile (minutes through the remote-compile
+    path) plus a full batch rebuild, which must not land mid-stream."""
+    if (cfg.max_active_blocks is None
+            or cfg.max_active_blocks >= esdf_layer.max_blocks):
+        return
+    key = (esdf_layer.max_blocks, esdf_layer.vps, cfg.max_active_blocks)
+    b = 64
+    while b < int(n_blocks):
+        b *= 2
+    b = min(b, cfg.max_active_blocks)
+    _BUCKET_CACHE[key] = max(_BUCKET_CACHE.get(key, 0), b)
 
 
 def grow_bucket_cache(cfg: EsdfIntegratorConfig, esdf_layer):

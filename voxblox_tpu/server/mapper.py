@@ -239,6 +239,23 @@ class TsdfServer:
             if not bool(more):
                 return
 
+    def publish_mesh_msg(self, drain: bool = True) -> bytes:
+        """Serialize the incremental mesh delta since the last publish
+        (the updateMeshEvent -> mesh pub path, tsdf_server.cc:493-520 +
+        generateVoxbloxMeshMsg): every row re-marched since the last
+        call ships as a uint16-quantized MeshBlock message. Returns the
+        wire bytes (io/mesh_msg framing)."""
+        from ..io import mesh_msg as mesh_msg_io
+
+        if drain:
+            self._drain_mesh_updates()
+        with timing.timer("mesh/publish"):
+            msg, self.layer = mesh_msg_io.encode_mesh_msg(
+                self.layer, self.mesh_pool,
+                use_color=self.mesh_config.use_color,
+            )
+            return mesh_msg_io.serialize_mesh_msg(msg)
+
     def export_mesh_layer(self) -> mesh_ops.MeshLayer:
         """Drain pending mesh updates and transfer the device mesh pool
         into the host MeshLayer cache."""
@@ -453,19 +470,31 @@ class EsdfServer(TsdfServer):
         return int(iters)
 
     def check_overflow(self):
-        super().check_overflow()
+        # ONE device_get for all pending flags: each bool() readback is
+        # a full pipeline sync (~25-70 ms through a remote-TPU tunnel),
+        # so the three accumulators transfer together.
+        flags = {}
+        if self._overflow_acc is not None:
+            flags["tsdf_pool"] = self._overflow_acc
         if getattr(self, "_esdf_pool_ovf", None) is not None:
-            ovf = bool(self._esdf_pool_ovf)
-            self._esdf_pool_ovf = None
-            if ovf:
-                raise MemoryError(
-                    "ESDF pool overflow; increase MapConfig.max_blocks"
-                )
-        if getattr(self, "_esdf_region_ovf", None) is None:
+            flags["esdf_pool"] = self._esdf_pool_ovf
+        if getattr(self, "_esdf_region_ovf", None) is not None:
+            flags["region"] = self._esdf_region_ovf
+        if not flags:
             return
-        ovf = bool(self._esdf_region_ovf)
+        vals = jax.device_get(flags)
+        self._overflow_acc = None
+        self._esdf_pool_ovf = None
         self._esdf_region_ovf = None
-        if ovf:
+        if vals.get("tsdf_pool"):
+            raise MemoryError(
+                "block pool overflow; increase MapConfig.max_blocks"
+            )
+        if vals.get("esdf_pool"):
+            raise MemoryError(
+                "ESDF pool overflow; increase MapConfig.max_blocks"
+            )
+        if vals.get("region"):
             # Some rows went unseeded/unswept and their dirty bits are
             # gone: grow the bucket and rebuild the exact field.
             esdf_ops.grow_bucket_cache(self.esdf_cfg, self.esdf_layer)
