@@ -40,6 +40,12 @@ DIRTY_MAP = np.uint8(1)
 DIRTY_MESH = np.uint8(2)
 DIRTY_ESDF = np.uint8(4)
 DIRTY_ALL = np.uint8(7)
+# Mesh rows re-marched since the last wire publish — the reference keeps
+# this as Mesh::updated, consumed by generateVoxbloxMeshMsg
+# (voxblox_ros/mesh_vis.h:161 getAllUpdatedMeshes). Not part of
+# DIRTY_ALL: integrators never set it; ops/mesh sets it, io/mesh_msg
+# clears it.
+DIRTY_PUB = np.uint8(8)
 
 # Channel schemas per layer type. Extra trailing dims after the voxel cube.
 # Mirrors the reference voxel structs (core/voxel.h:12-47) in SoA form.

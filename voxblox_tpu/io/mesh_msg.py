@@ -1,0 +1,248 @@
+"""Incremental mesh wire format: uint16-quantized per-block deltas.
+
+Equivalent of the reference's streaming mesh channel —
+voxblox_msgs/Mesh.msg + MeshBlock.msg (voxblox_msgs/msg/MeshBlock.msg:1-10)
+as produced by generateVoxbloxMeshMsg
+(voxblox_ros/include/voxblox_ros/mesh_vis.h:153-231) and decoded by the
+rviz plugin (voxblox_rviz_plugin/src/voxblox_mesh_visual.cc:29-60):
+
+- each re-meshed block ships its whole triangle soup (vertices in groups
+  of 3), replacing the receiver's copy of that block;
+- vertices are quantized to uint16 in normalized block coordinates
+  n = 0.5 * (v / block_size - block_index), i.e. steps of
+  2 * block_size / 65535 (~24 um at 5 cm voxels);
+- colors are uint8 RGB (optional);
+- a block message with ZERO vertices deletes the block on the receiver
+  (mesh_vis.h:224-228 removes emptied meshes after sending them).
+
+TPU-native encode path: block selection, triangle compaction and
+quantization all run in one jitted program over the device MeshPool's
+packed rows (ops/mesh.py), so the only host transfer is the ~9
+bytes/vertex wire payload (device->host data moves at ~15 MB/s through
+the remote-TPU tunnel — shipping raw f32 vertices would be 4x the
+bytes). Which rows to ship comes from the DIRTY_PUB block flag, set by
+ops/mesh on every re-marched row (the reference's Mesh::updated).
+
+Wire framing (little-endian; the ROS serialization itself is not kept —
+SURVEY maps the msg layer to a ROS-free byte schema with the same
+fields and quantization):
+
+    magic   b"VMSH"
+    u8      version (1)
+    u8      has_color
+    f32     block_edge_length
+    u32     n_blocks
+    per block:
+        i64[3]  block index
+        u32     n_verts (multiple of 3; 0 = delete block)
+        u16[n]  x   u16[n] y   u16[n] z
+        u8[n]   r   u8[n]  g   u8[n]  b      (only if has_color)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import layer as vlayer
+from ..ops import mesh as mesh_ops
+
+_MAGIC = b"VMSH"
+_VERSION = 1
+
+
+@dataclasses.dataclass
+class MeshBlockMsg:
+    """One block's delta (voxblox_msgs/MeshBlock.msg fields)."""
+
+    index: Tuple[int, int, int]
+    x: np.ndarray  # uint16[n]
+    y: np.ndarray  # uint16[n]
+    z: np.ndarray  # uint16[n]
+    r: Optional[np.ndarray] = None  # uint8[n]
+    g: Optional[np.ndarray] = None
+    b: Optional[np.ndarray] = None
+
+
+@dataclasses.dataclass
+class MeshMsg:
+    """voxblox_msgs/Mesh.msg: header + per-block deltas."""
+
+    block_edge_length: float
+    blocks: List[MeshBlockMsg]
+    has_color: bool = True
+
+
+@partial(jax.jit, static_argnames=("total_cap",))
+def _encode_jit(pool: mesh_ops.MeshPool, block_ijk, mask, total_cap: int,
+                block_size: float):
+    """Compact the selected rows' triangles and quantize on device.
+
+    Returns (q u16[total_cap*3, 3], rgb u8[total_cap*3, 3],
+    row_of i32[total_cap], total). Vertex k of packed triangle t lives at
+    flat index t*3+k; row_of[t] = pool row (-1 pad)."""
+    packed, row_of, total = mesh_ops._export_pool_jit(pool, mask, total_cap)
+    verts = packed[:, :9].reshape(-1, 3)  # [T*3, 3] f32 world
+    idx = block_ijk[jnp.clip(row_of, 0, block_ijk.shape[0] - 1)]
+    idx3 = jnp.repeat(idx, 3, axis=0)  # [T*3, 3]
+    n = 0.5 * (verts / jnp.float32(block_size) - idx3.astype(jnp.float32))
+    q = jnp.clip(jnp.round(n * 65535.0), 0.0, 65535.0).astype(jnp.uint16)
+    cw = jax.lax.bitcast_convert_type(packed[:, 9:12], jnp.uint32)
+    cw = cw.reshape(-1)  # [T*3]
+    rgb = jnp.stack(
+        [cw & 0xFF, (cw >> 8) & 0xFF, (cw >> 16) & 0xFF], axis=-1
+    ).astype(jnp.uint8)
+    return q, rgb, row_of, total
+
+
+def encode_mesh_msg(layer: vlayer.VoxelLayer, pool: mesh_ops.MeshPool,
+                    use_color: bool = True, clear_pub_flag: bool = True,
+                    rows_mask=None):
+    """Encode the publish-pending rows (DIRTY_PUB) into a MeshMsg.
+
+    Mirrors generateVoxbloxMeshMsg (mesh_vis.h:153-231): every row
+    re-marched since the last publish is shipped whole; rows whose march
+    produced zero triangles are shipped EMPTY (= delete downstream).
+    Returns (msg, layer') with the pub bits cleared on layer'.
+    ``rows_mask`` overrides row selection (bool[max_blocks], e.g.
+    active_mask() for a full snapshot)."""
+    if rows_mask is None:
+        rows_mask = vlayer.dirty_mask(layer, vlayer.DIRTY_PUB)
+    # ONE host sync fetches everything the host framing needs: the row
+    # set, per-row counts, and the quantized payload. total_cap must be
+    # static, so counts land first (sync #1), then the payload (sync #2).
+    mask_np, counts_np = jax.device_get((rows_mask, pool.counts))
+    rows = np.nonzero(mask_np)[0]
+    counts = np.where(mask_np, counts_np, 0)
+    total = int(counts.sum())
+    blocks: List[MeshBlockMsg] = []
+    block_ijk_np = None
+    if total > 0:
+        total_cap = 1 << max(8, int(total - 1).bit_length())
+        q, rgb, row_of, _ = _encode_jit(
+            pool, layer.block_ijk, jnp.asarray(mask_np), total_cap,
+            layer.block_size,
+        )
+        q, rgb, block_ijk_np = jax.device_get((q, rgb, layer.block_ijk))
+    else:
+        q = np.zeros((0, 3), np.uint16)
+        rgb = np.zeros((0, 3), np.uint8)
+    if block_ijk_np is None:
+        block_ijk_np = np.asarray(layer.block_ijk)
+
+    start = 0
+    for row in rows:
+        nv = int(counts[row]) * 3
+        sl = slice(start * 3, start * 3 + nv)
+        blk = MeshBlockMsg(
+            index=tuple(int(v) for v in block_ijk_np[row]),
+            x=q[sl, 0].copy(), y=q[sl, 1].copy(), z=q[sl, 2].copy(),
+        )
+        if use_color:
+            blk.r = rgb[sl, 0].copy()
+            blk.g = rgb[sl, 1].copy()
+            blk.b = rgb[sl, 2].copy()
+        blocks.append(blk)
+        start += int(counts[row])
+    msg = MeshMsg(block_edge_length=float(layer.block_size), blocks=blocks,
+                  has_color=use_color)
+    if clear_pub_flag:
+        layer = vlayer.clear_dirty(layer, vlayer.DIRTY_PUB)
+    return msg, layer
+
+
+def serialize_mesh_msg(msg: MeshMsg) -> bytes:
+    out = [_MAGIC, struct.pack("<BBfI", _VERSION, int(msg.has_color),
+                               msg.block_edge_length, len(msg.blocks))]
+    for blk in msg.blocks:
+        n = len(blk.x)
+        out.append(struct.pack("<3qI", *blk.index, n))
+        out.append(np.ascontiguousarray(blk.x, np.uint16).tobytes())
+        out.append(np.ascontiguousarray(blk.y, np.uint16).tobytes())
+        out.append(np.ascontiguousarray(blk.z, np.uint16).tobytes())
+        if msg.has_color:
+            out.append(np.ascontiguousarray(blk.r, np.uint8).tobytes())
+            out.append(np.ascontiguousarray(blk.g, np.uint8).tobytes())
+            out.append(np.ascontiguousarray(blk.b, np.uint8).tobytes())
+    return b"".join(out)
+
+
+def deserialize_mesh_msg(data: bytes) -> MeshMsg:
+    if data[:4] != _MAGIC:
+        raise ValueError("not a mesh message")
+    ver, has_color, edge, n_blocks = struct.unpack_from("<BBfI", data, 4)
+    if ver != _VERSION:
+        raise ValueError(f"unsupported mesh msg version {ver}")
+    off = 4 + struct.calcsize("<BBfI")
+    blocks = []
+    for _ in range(n_blocks):
+        ix, iy, iz, n = struct.unpack_from("<3qI", data, off)
+        off += struct.calcsize("<3qI")
+
+        def arr(dtype, count):
+            nonlocal off
+            a = np.frombuffer(data, dtype, count, off).copy()
+            off += a.nbytes
+            return a
+
+        blk = MeshBlockMsg(index=(ix, iy, iz), x=arr(np.uint16, n),
+                           y=arr(np.uint16, n), z=arr(np.uint16, n))
+        if has_color:
+            blk.r = arr(np.uint8, n)
+            blk.g = arr(np.uint8, n)
+            blk.b = arr(np.uint8, n)
+        blocks.append(blk)
+    return MeshMsg(block_edge_length=edge, blocks=blocks,
+                   has_color=bool(has_color))
+
+
+def dequantize_block(msg: MeshMsg, blk: MeshBlockMsg) -> np.ndarray:
+    """uint16 wire coords -> f32 world vertices (the rviz plugin's
+    point_conv_factor = 2/65535 path, voxblox_mesh_visual.cc:41-57)."""
+    conv = 2.0 / 65535.0
+    idx = np.asarray(blk.index, np.float32)
+    q = np.stack([blk.x, blk.y, blk.z], axis=-1).astype(np.float32)
+    return (q * conv + idx[None, :]) * msg.block_edge_length
+
+
+def apply_mesh_msg(mesh_layer: mesh_ops.MeshLayer, msg: MeshMsg):
+    """Apply a delta onto a host MeshLayer cache (the rviz-plugin side:
+    replace each block's soup; an empty block deletes it)."""
+    for blk in msg.blocks:
+        n = len(blk.x)
+        if n == 0:
+            mesh_layer.update_block(blk.index, None)
+            continue
+        verts = dequantize_block(msg, blk)
+        if msg.has_color:
+            colors = np.stack([blk.r, blk.g, blk.b], -1).astype(np.uint8)
+        else:
+            colors = np.zeros((n, 3), np.uint8)
+        tri = verts.reshape(-1, 3, 3)
+        nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True),
+                          1e-12)
+        normals = np.repeat(nrm, 3, axis=0)
+        mesh_layer.update_block(
+            blk.index,
+            mesh_ops.BlockMesh(
+                vertices=verts, normals=normals, colors=colors,
+                indices=np.arange(n, dtype=np.int32),
+            ),
+        )
+    return mesh_layer
+
+
+def message_bytes(msg: MeshMsg) -> int:
+    """Wire size (the bytes/scan metric): 28 B/block header + 9 B/vertex
+    with color (6 without)."""
+    per_v = 9 if msg.has_color else 6
+    return (4 + struct.calcsize("<BBfI")
+            + sum(struct.calcsize("<3qI") + per_v * len(b.x)
+                  for b in msg.blocks))
