@@ -24,14 +24,17 @@ import subprocess
 import sys
 
 _CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 import numpy as np
 import jax
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+_REPO = os.environ["VOXBLOX_REPO"]
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("VOXBLOX_JAX_CACHE",
+                                 os.path.join(_REPO, ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _REPO)
 from voxblox_tpu.core import layer as vlayer
 from voxblox_tpu.core.config import EsdfIntegratorConfig, TsdfIntegratorConfig
 from voxblox_tpu.ops import esdf as esdf_ops
@@ -129,6 +132,9 @@ def main():
     results = []
     for n in [int(x) for x in args.devices.split(",")]:
         env = dict(os.environ)
+        env["VOXBLOX_REPO"] = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
         if not args.real:
             env.pop("PALLAS_AXON_POOL_IPS", None)
             env["JAX_PLATFORMS"] = "cpu"

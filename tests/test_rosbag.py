@@ -165,6 +165,62 @@ def _make_bag(tmp_path):
     return w, objs, path, poses
 
 
+def test_committed_bag_fixture_replay():
+    """Replay the COMMITTED binary fixture (tests/data/cow_fixture.bag —
+    real rosbag layout: indexed, multi-chunk, bz2, genuine md5sums;
+    regenerate with scripts/make_bag_fixture.py) end-to-end and check
+    the rebuilt TSDF against ground truth regenerated from the same
+    world spec. Guards the bag/message codecs against drift with fixed
+    bytes, the way a real cow-and-lady bag would
+    (cow_and_lady_dataset.launch:9-14)."""
+    import struct
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bag_path = os.path.join(repo, "tests", "data", "cow_fixture.bag")
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import make_bag_fixture as fx
+
+    # Structural checks: indexed header, several chunks, real md5sums.
+    with open(bag_path, "rb") as f:
+        assert f.readline() == rosbag.MAGIC
+        buf = f.read()
+    fields = rosbag._decode_fields(
+        buf[4:4 + struct.unpack_from("<I", buf, 0)[0]]
+    )
+    assert struct.unpack("<Q", fields["index_pos"])[0] > 0
+    assert struct.unpack("<I", fields["chunk_count"])[0] > 1
+
+    msgs = list(rosbag.read_messages(bag_path))
+    assert len(msgs) == 2 * fx.N_POSES
+
+    srv = TsdfServer(
+        MapConfig(voxel_size=VOXEL, voxels_per_side=16, max_blocks=1024),
+        integrator_config=TsdfIntegratorConfig(
+            default_truncation_distance=4 * VOXEL, max_ray_length_m=8.0
+        ),
+        method="projective",
+        projective_resolution=(fx.RES[0] // 2, fx.RES[1] // 2),
+        projective_fov_deg=fx.FOV_DEG,
+    )
+    stats = rosbag.run_rosbag(
+        srv, bag_path,
+        pointcloud_topic="/camera/depth_registered/points",
+        pose_topic="/kinect/vrpn_client/estimated_transform",
+    )
+    assert stats["integrated"] == fx.N_POSES
+
+    w = fx.world_spec()
+    gt = sw.generate_gt_layer(
+        w.freeze(), "tsdf", VOXEL, w.min_bound, w.max_bound,
+        max_dist=4 * VOXEL, vps=16, max_blocks=2048,
+    )
+    det = evaluation.evaluate_layers_rmse(gt, srv.layer,
+                                          ignore_behind_test_surface=True)
+    assert det.num_evaluated_voxels > 2000
+    assert det.rmse < 2 * VOXEL, str(det)
+
+
 def test_rosbag_replay_end_to_end(tmp_path):
     w, objs, path, poses = _make_bag(tmp_path)
     srv = TsdfServer(

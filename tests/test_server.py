@@ -125,6 +125,48 @@ def test_transform_layer_identity_and_shift():
     np.testing.assert_allclose(float(d_src[0]), float(d_out[0]), atol=1e-3)
 
 
+def test_naive_transform_layer_matches_exact_on_block_shift():
+    """naiveTransformLayer equivalent (merge_integration.h:94-138):
+    exact on grid-aligned translations, degraded-but-close vs the
+    inverse-warp path under rotation."""
+    w = _world()
+    objs = w.freeze()
+    src = sw.generate_gt_layer(
+        objs, "tsdf", 0.2, (-2.0, -2.0, 0.0), (2.0, 2.0, 3.0),
+        max_dist=0.8, vps=8, max_blocks=1024,
+    )
+    # Grid-aligned translation: forward-NN transport is exact.
+    T = (jnp.eye(3), jnp.asarray([1.6, 0.0, 0.0]))
+    out, overflow = vtransform.naive_transform_layer(src, T,
+                                                     max_blocks=2048)
+    assert not bool(overflow)
+    interp = __import__("voxblox_tpu.ops.interp", fromlist=["interpolate"])
+    q = jnp.asarray([[0.3, 0.3, 2.0]], jnp.float32)
+    d_src, ok1 = interp.interpolate(src, q)
+    d_out, ok2 = interp.interpolate(out, q + jnp.asarray([[1.6, 0.0, 0.0]]))
+    assert bool(ok1[0]) and bool(ok2[0])
+    np.testing.assert_allclose(float(d_src[0]), float(d_out[0]), atol=1e-5)
+
+    # Rotation: NN aliases but stays within a voxel of the exact warp.
+    ang = np.deg2rad(30.0)
+    Rz = jnp.asarray([
+        [np.cos(ang), -np.sin(ang), 0.0],
+        [np.sin(ang), np.cos(ang), 0.0],
+        [0.0, 0.0, 1.0],
+    ], jnp.float32)
+    T2 = (Rz, jnp.asarray([0.0, 0.0, 0.0]))
+    naive, _ = vtransform.naive_transform_layer(src, T2, max_blocks=2048)
+    exact, _ = vtransform.transform_layer(src, T2, max_blocks=2048)
+    qs = jnp.asarray(
+        [[0.3, 0.3, 2.0], [-0.5, 0.2, 1.0], [0.8, -0.4, 1.5]], jnp.float32
+    ) @ Rz.T
+    dn, okn = interp.interpolate(naive, qs)
+    de, oke = interp.interpolate(exact, qs)
+    sel = np.asarray(okn & oke)
+    assert sel.any()
+    assert float(jnp.max(jnp.abs(dn - de) * sel)) < 2 * src.voxel_size
+
+
 def test_merge_layers():
     w = _world()
     objs = w.freeze()

@@ -12,7 +12,9 @@ This module replays those bags without ROS:
   chunks with none/bz2 compression (lz4 gated on availability);
 - message codecs: ROS1's little-endian packed serialization for
   PointCloud2, TransformStamped, tf2_msgs/TFMessage, PoseStamped;
-- a writer that emits valid (unindexed) bags — used for test fixtures
+- a writer that emits the full indexed rosbag-record layout (chunked,
+  IndexData + ChunkInfo records, trailing connection/index section) or
+  minimal unindexed "active" bags — used for committed test fixtures
   and for exporting synthetic datasets other tools can open.
 
 Only the stdlib is used (bz2); no rosbag/rospy dependency.
@@ -219,84 +221,168 @@ def read_messages(
 # ---------------------------------------------------------------------------
 
 
-def write_bag(path: str, messages, compression: str = "none"):
+# Real md5sums of the message types this module codes for — written
+# into connection records so the fixtures match what a genuine
+# rosbag-record'ed dataset (e.g. cow-and-lady) carries.
+_MSG_MD5 = {
+    "sensor_msgs/PointCloud2": "1158d486dd51d683ce2f1be655c3c181",
+    "geometry_msgs/TransformStamped": "b5764a33bfeb3588febc2682852579b0",
+    "geometry_msgs/PoseStamped": "d3812c3cbc69362b77dc0b19b345f8f5",
+    "tf2_msgs/TFMessage": "94810edda583a504dfda3829e70d7eec",
+}
+
+
+def write_bag(path: str, messages, compression: str = "none",
+              indexed: bool = True, chunk_threshold: int = 768 * 1024):
     """messages: iterable of (topic, msg_type, stamp_sec, raw_bytes).
 
-    Writes one chunk holding all connections + messages. The bag carries
-    no index records (like an unclosed "active" bag) — fine for this
-    module's reader and for `rosbag reindex`-aware tools.
-    """
+    ``indexed=True`` writes the full rosbag-record file layout
+    (http://wiki.ros.org/Bags/Format/2.0): multiple chunks split at
+    ~``chunk_threshold`` uncompressed bytes, IndexData records after
+    each chunk, and a trailing index section (connection records +
+    ChunkInfo records) pointed to by the bag header's index_pos — the
+    structure real datasets ship with, so reading a committed fixture
+    exercises the same record skips a genuine bag does.
+    ``indexed=False`` emits the old single-chunk "active" (unindexed)
+    bag."""
     msgs = list(messages)
     topics: Dict[Tuple[str, str], int] = {}
-    chunk = b""
+    for topic, msg_type, _, _ in msgs:
+        topics.setdefault((topic, msg_type), len(topics))
+
+    def conn_record(f, topic, msg_type, cid):
+        conn_hdr = _encode_fields(
+            {
+                "topic": topic.encode(),
+                "type": msg_type.encode(),
+                "md5sum": _MSG_MD5.get(msg_type, "*").encode(),
+                "message_definition":
+                    f"# {msg_type} (definition elided)\n".encode(),
+            }
+        )
+        _write_record(
+            f,
+            {
+                "op": bytes([OP_CONNECTION]),
+                "conn": struct.pack("<I", cid),
+                "topic": topic.encode(),
+            },
+            conn_hdr,
+        )
+
+    if compression not in ("none", "bz2"):
+        raise ValueError(f"unsupported compression {compression!r}")
+
     import io as _io
 
-    cf = _io.BytesIO()
-    for topic, msg_type, _, _ in msgs:
-        key = (topic, msg_type)
-        if key not in topics:
-            cid = len(topics)
-            topics[key] = cid
-            conn_hdr = _encode_fields(
-                {
-                    "topic": topic.encode(),
-                    "type": msg_type.encode(),
-                    "md5sum": b"*",
-                    "message_definition": b"",
-                }
-            )
-            _write_record(
-                cf,
-                {
-                    "op": bytes([OP_CONNECTION]),
-                    "conn": struct.pack("<I", cid),
-                    "topic": topic.encode(),
-                },
-                conn_hdr,
-            )
-    for topic, msg_type, t_sec, raw in msgs:
-        cid = topics[(topic, msg_type)]
-        _write_record(
-            cf,
-            {
-                "op": bytes([OP_MSG]),
-                "conn": struct.pack("<I", cid),
-                "time": _time_to_bytes(t_sec),
-            },
-            raw,
-        )
-    chunk = cf.getvalue()
-    if compression == "bz2":
-        payload = bz2.compress(chunk)
-    elif compression == "none":
-        payload = chunk
-    else:
-        raise ValueError(f"unsupported compression {compression!r}")
+    # Split messages into chunks (indexed mode only; unindexed keeps one).
+    groups: List[List[Tuple[str, str, float, bytes]]] = [[]]
+    size = 0
+    for m in msgs:
+        groups[-1].append(m)
+        size += len(m[3]) + 64
+        if indexed and size >= chunk_threshold:
+            groups.append([])
+            size = 0
+    if len(groups) > 1 and not groups[-1]:
+        groups.pop()
 
     with open(path, "wb") as f:
         f.write(MAGIC)
         # Bag header record, padded to 4096 bytes with spaces (spec).
-        hdr_fields = {
-            "op": bytes([OP_BAG_HEADER]),
-            "index_pos": struct.pack("<Q", 0),
-            "conn_count": struct.pack("<I", len(topics)),
-            "chunk_count": struct.pack("<I", 1),
-        }
-        hdr = _encode_fields(hdr_fields)
-        pad = 4096 - len(hdr)
-        f.write(struct.pack("<I", len(hdr)))
-        f.write(hdr)
-        f.write(struct.pack("<I", pad))
-        f.write(b" " * pad)
-        _write_record(
-            f,
-            {
-                "op": bytes([OP_CHUNK]),
-                "compression": compression.encode(),
-                "size": struct.pack("<I", len(chunk)),
-            },
-            payload,
-        )
+        # index_pos is back-patched after the chunks are written.
+        hdr_pos = f.tell()
+
+        def bag_header(index_pos):
+            hdr_fields = {
+                "op": bytes([OP_BAG_HEADER]),
+                "index_pos": struct.pack("<Q", index_pos),
+                "conn_count": struct.pack("<I", len(topics)),
+                "chunk_count": struct.pack("<I", len(groups)),
+            }
+            hdr = _encode_fields(hdr_fields)
+            pad = 4096 - len(hdr)
+            f.write(struct.pack("<I", len(hdr)))
+            f.write(hdr)
+            f.write(struct.pack("<I", pad))
+            f.write(b" " * pad)
+
+        bag_header(0)
+        chunk_infos = []  # (chunk_pos, t0, t1, {cid: count})
+        for gi, group in enumerate(groups):
+            cf = _io.BytesIO()
+            # Connection records live inside the first chunk (as rosbag
+            # record does) AND in the index section below.
+            if gi == 0:
+                for (topic, msg_type), cid in topics.items():
+                    conn_record(cf, topic, msg_type, cid)
+            index: Dict[int, List[Tuple[float, int]]] = {}
+            for topic, msg_type, t_sec, raw in group:
+                cid = topics[(topic, msg_type)]
+                index.setdefault(cid, []).append((t_sec, cf.tell()))
+                _write_record(
+                    cf,
+                    {
+                        "op": bytes([OP_MSG]),
+                        "conn": struct.pack("<I", cid),
+                        "time": _time_to_bytes(t_sec),
+                    },
+                    raw,
+                )
+            chunk = cf.getvalue()
+            payload = bz2.compress(chunk) if compression == "bz2" else chunk
+            chunk_pos = f.tell()
+            _write_record(
+                f,
+                {
+                    "op": bytes([OP_CHUNK]),
+                    "compression": compression.encode(),
+                    "size": struct.pack("<I", len(chunk)),
+                },
+                payload,
+            )
+            if indexed:
+                for cid, entries in index.items():
+                    _write_record(
+                        f,
+                        {
+                            "op": bytes([OP_INDEX]),
+                            "ver": struct.pack("<I", 1),
+                            "conn": struct.pack("<I", cid),
+                            "count": struct.pack("<I", len(entries)),
+                        },
+                        b"".join(
+                            _time_to_bytes(t) + struct.pack("<I", off)
+                            for t, off in entries
+                        ),
+                    )
+                stamps = [m[2] for m in group] or [0.0]
+                chunk_infos.append(
+                    (chunk_pos, min(stamps), max(stamps),
+                     {c: len(e) for c, e in index.items()})
+                )
+        if indexed:
+            index_pos = f.tell()
+            for (topic, msg_type), cid in topics.items():
+                conn_record(f, topic, msg_type, cid)
+            for chunk_pos, t0, t1, counts in chunk_infos:
+                _write_record(
+                    f,
+                    {
+                        "op": bytes([OP_CHUNK_INFO]),
+                        "ver": struct.pack("<I", 1),
+                        "chunk_pos": struct.pack("<Q", chunk_pos),
+                        "start_time": _time_to_bytes(t0),
+                        "end_time": _time_to_bytes(t1),
+                        "count": struct.pack("<I", len(counts)),
+                    },
+                    b"".join(
+                        struct.pack("<II", c, n)
+                        for c, n in counts.items()
+                    ),
+                )
+            f.seek(hdr_pos)
+            bag_header(index_pos)
 
 
 # ---------------------------------------------------------------------------

@@ -230,3 +230,71 @@ def transform_layer(
             -1, vpb
         ).at[sl].set(w).reshape(ch["intensity_weight"].shape)
     return dataclasses.replace(out, channels=ch), overflow
+
+
+def naive_transform_layer(
+    source: vlayer.VoxelLayer,
+    T_out_in,
+    max_blocks: int | None = None,
+):
+    """Forward nearest-neighbor layer transform (naiveTransformLayer,
+    merge_integration.h:94-138): every source voxel's VALUE is copied to
+    the output voxel containing its forward-transformed center — one
+    batched scatter instead of the inverse-warp resample. Much cheaper
+    than ``transform_layer`` but degraded, exactly like the reference:
+    rotations alias (a target voxel can receive several source voxels —
+    an arbitrary one wins the scatter — while its neighbor receives none
+    and stays unobserved). Same voxel size/vps as the source (the
+    reference's NN copy has no resample semantics worth keeping).
+
+    Returns (layer_out, overflow).
+    """
+    R, t = T_out_in
+    max_blocks = max_blocks or source.max_blocks
+    out = vlayer.make_layer(
+        source.layer_type, source.voxel_size, vps=source.vps,
+        max_blocks=max_blocks,
+    )
+    src_active = np.asarray(source.active_mask())
+    rows = np.nonzero(src_active)[0]
+    if len(rows) == 0:
+        return out, jnp.asarray(False)
+    rows_j = jnp.asarray(rows, jnp.int32)
+    vps = source.vps
+    vpb = source.voxels_per_block
+    lin = jnp.arange(vpb)
+    local = grid.linear_to_local(lin, vps)  # [vpb, 3]
+
+    Rj = jnp.asarray(np.asarray(R), jnp.float32)
+    tj = jnp.asarray(np.asarray(t), jnp.float32)
+
+    # Forward-map every source voxel center -> output global voxel index.
+    gvi_in = (source.block_ijk[rows_j][:, None, :] * vps
+              + local[None, :, :])  # [B, vpb, 3]
+    centers = grid.grid_index_to_center_point(gvi_in, source.voxel_size)
+    world = centers @ Rj.T + tj
+    gvi_out = jnp.floor(world / source.voxel_size).astype(jnp.int32)
+    out_bijk = jnp.floor(
+        gvi_out.astype(jnp.float32) / vps
+    ).astype(jnp.int32)  # works for negatives (floor division)
+
+    out, overflow = vlayer.allocate_blocks(
+        out, out_bijk.reshape(-1, 3),
+        jnp.ones(len(rows) * vpb, bool),
+    )
+    slots = vlayer.lookup_blocks(out, out_bijk.reshape(-1, 3))
+    local_out = gvi_out.reshape(-1, 3) - out_bijk.reshape(-1, 3) * vps
+    lin_out = (local_out[:, 2] * vps + local_out[:, 1]) * vps + local_out[:, 0]
+    ok = slots >= 0
+    flat = jnp.where(ok, slots * vpb + lin_out, out.max_blocks * vpb)
+
+    ch = dict(out.channels)
+    for name, arr in source.channels.items():
+        src = arr[rows_j]  # [B, vpb-cube(+extra)]
+        extra = arr.shape[4:]
+        src = src.reshape((len(rows) * vpb,) + extra)
+        tgt = ch[name].reshape((out.max_blocks * vpb,) + extra)
+        ch[name] = tgt.at[flat].set(src, mode="drop").reshape(
+            ch[name].shape
+        )
+    return dataclasses.replace(out, channels=ch), overflow
