@@ -528,18 +528,21 @@ def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
     cy = (cc // v) % v
     cx = cc % v
 
-    # Corner taps straight from the pool (k = oz*4+oy*2+ox neighbor).
+    # Corner taps read the ALREADY-ASSEMBLED [B, v+1, v+1, v+1] halo pad
+    # (corner offsets never leave it) — a 262k-index gather over a ~1 MB
+    # operand XLA stages in VMEM. The previous full-pool taps flattened
+    # the whole cube channel per update (a [mb, v, v, v] relayout + a
+    # gather over a 67 MB HBM operand: ~6 ms/update at mb=4096) and an
+    # extra [T, 8] nbr8 take_along_axis for validity (~2 ms) that the
+    # pad's masked fill already encodes.
     corners = np.asarray(mc.CORNERS)  # [8,3] (x,y,z)
     tx = cx[:, None] + corners[None, :, 0]
     ty = cy[:, None] + corners[None, :, 1]
     tz = cz[:, None] + corners[None, :, 2]
-    k8 = (tz // v) * 4 + (ty // v) * 2 + (tx // v)
-    tap_row = jnp.take_along_axis(nbr8[cb], k8, axis=1)  # [T,8]
-    tap_vox = (tz % v) * v * v + (ty % v) * v + (tx % v)
+    vp = v + 1
+    addr_pad = ((cb[:, None] * vp + tz) * vp + ty) * vp + tx  # [T,8]
     mb = layer.max_blocks
-    tap_flat = jnp.clip(tap_row, 0, mb - 1) * v**3 + tap_vox
-    csdf = layer.channels[sdf_channel].reshape(mb * v**3)[tap_flat]
-    csdf = jnp.where(tap_row >= 0, csdf, 0.0)  # [T,8]
+    csdf = sdf_pad.reshape(-1)[addr_pad]  # [T,8]; fill=0 off-map
 
     # Corner world positions (pure arithmetic; SDF samples at centers).
     safe_rows = jnp.where(row_ok, rows, 0)
@@ -582,21 +585,45 @@ def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
     verts = tv_c.reshape(-1, mc.MAX_TRIS, 3, 3)  # [T,5,3,3]
 
     if use_color:
-        colf = layer.channels["color"].reshape(mb * v**3, 3)
-        ccol = colf[tap_flat]  # [T,8,3]
-        ccol = jnp.where((tap_row >= 0)[..., None], ccol, 0.0)
-        d2 = jnp.sum(
-            (verts[:, :, :, None, :] - cpos[:, None, None, :, :]) ** 2,
-            axis=-1,
-        )  # [T,5,3,8]
-        nearest = jnp.argmin(d2, axis=-1)  # [T,5,3]
-        cols = jnp.take_along_axis(
-            ccol[:, None, :, :],
-            nearest[..., None],
-            axis=2,
-        )  # [T,5,3,3]
-        cu = jnp.clip(cols, 0, 255).astype(jnp.uint32)
-        cw = cu[..., 0] | (cu[..., 1] << 8) | (cu[..., 2] << 16)  # [T,5,3]
+        # Colors as ONE packed-u32 plane over the bucket's neighborhood
+        # rows (B*8 row-gathers with wide rows, duplicates fine), padded
+        # like the SDF and tapped with the same addresses. The old path
+        # gathered f32[mb*v^3, 3] corner colors (262k indices over a
+        # 201 MB trailing-3 operand, plus the pool-wide planarize
+        # relayouts: ~15 ms/update) and resolved vertex colors with a
+        # 491k-index argmin gather over a [T,5,3,8] distance cube.
+        rows512 = jnp.clip(nbr8.reshape(-1), 0, mb - 1)
+        col512 = layer.channels["color"][rows512]  # [B*8, v,v,v, 3]
+        cu512 = jnp.clip(col512, 0, 255).astype(jnp.uint32)
+        word512 = (cu512[..., 0] | (cu512[..., 1] << 8)
+                   | (cu512[..., 2] << 16))
+        word512 = jnp.where(
+            (nbr8.reshape(-1) >= 0)[:, None, None, None], word512, 0
+        ).reshape(b, 8, v, v, v)
+        word_pad = jnp.zeros((b, vp, vp, vp), jnp.uint32)
+        full, one, first = slice(0, v), slice(v, vp), slice(0, 1)
+        word_pad = word_pad.at[:, :v, :v, :v].set(word512[:, 0])
+        for k in range(1, 8):
+            oz, oy, ox = (k >> 2) & 1, (k >> 1) & 1, k & 1
+            dst = (slice(None), one if oz else full, one if oy else full,
+                   one if ox else full)
+            src = (slice(None), first if oz else full,
+                   first if oy else full, first if ox else full)
+            word_pad = word_pad.at[dst].set(word512[:, k][src])
+        cword = word_pad.reshape(-1)[addr_pad]  # [T,8] u32
+
+        # Vertex color = nearest corner. A marching-cubes vertex lies on
+        # edge (e0, e1) at parameter t, so the nearest of the 8 corners
+        # is e0 iff t < 0.5 (ties resolve to the lower corner index,
+        # matching the dense path's argmin) — pure selects, no gather.
+        cw15 = jnp.zeros((csdf.shape[0], mc.MAX_TRIS * 3), jnp.uint32)
+        for e in range(12):
+            ce0, ce1 = int(mc.EDGES[e, 0]), int(mc.EDGES[e, 1])
+            te = t[:, e]
+            pick0 = (te < 0.5) | ((te == 0.5) & (ce0 < ce1))
+            wsel = jnp.where(pick0, cword[:, ce0], cword[:, ce1])  # [T]
+            cw15 = jnp.where(ids15 == e, wsel[:, None], cw15)
+        cw = cw15.reshape(-1, mc.MAX_TRIS, 3)  # [T,5,3]
     else:
         cw = jnp.zeros(verts.shape[:3], jnp.uint32)
 
