@@ -74,21 +74,35 @@ HALL = vlayer.ESDF_HALLUCINATED
 # ---------------------------------------------------------------------------
 
 
+_OFFS27 = np.array(
+    [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+     for dz in (-1, 0, 1)],
+    np.int32,
+)  # [27,3], center at index 13
+
+
 def neighbor_slot_table(layer: vlayer.VoxelLayer):
     """int32[max_blocks, 27] pool rows of each block's 3x3x3 neighborhood
     (slot -1 where absent). Recomputed per update; allocation is fixed
     during sweeps."""
-    offs = np.array(
-        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-         for dz in (-1, 0, 1)],
-        np.int32,
-    )  # [27,3], center at index 13
-    nbr_ijk = layer.block_ijk[:, None, :] + offs[None, :, :]
+    nbr_ijk = layer.block_ijk[:, None, :] + _OFFS27[None, :, :]
     slots = vlayer.lookup_blocks(layer, nbr_ijk)
     active = layer.active_mask()
     # Inactive rows get no neighbors; also mask out neighbors that are
     # inactive rows (tombstoned lookups already return -1).
     return jnp.where(active[:, None], slots, -1)
+
+
+def probe_neighbor_rows(layer: vlayer.VoxelLayer, rows, row_ok):
+    """int32[N, 27] pool slots of the SELECTED rows' 3x3x3 neighborhoods
+    (27*N hash probes). The full-pool table costs 27*max_blocks probes —
+    ~6 ms/update at mb=4096 for a few-hundred-block map, measured on the
+    batch-ESDF xplane trace — so budgeted paths probe only their working
+    set."""
+    safe = jnp.where(row_ok, rows, 0)
+    nbr_ijk = layer.block_ijk[safe][:, None, :] + _OFFS27[None, :, :]
+    slots = vlayer.lookup_blocks(layer, nbr_ijk)
+    return jnp.where(row_ok[:, None], slots, -1)
 
 
 def build_padded(layer, values, nbr_slots, fill):
@@ -470,7 +484,6 @@ def lower_sweep(
     """
     v = esdf_layer.vps
     mb = esdf_layer.max_blocks
-    nbr = neighbor_slot_table(esdf_layer)
     active = esdf_layer.active_mask()
     if region_rows is None:
         region_rows = active
@@ -478,6 +491,7 @@ def lower_sweep(
 
     k = cfg.max_active_blocks
     if k is None or k >= mb:
+        nbr = neighbor_slot_table(esdf_layer)
         layer_out, iters = _sweep_on(
             esdf_layer, esdf_layer.channels["esdf"],
             esdf_layer.channels["esdf_flags"], nbr, region_rows, cfg,
@@ -486,21 +500,28 @@ def lower_sweep(
         )
         return layer_out, iters, jnp.asarray(False)
 
-    # Compact working set: region rows + their neighbor sources.
-    in_set = region_rows
-    nbr_of_region = jnp.zeros((mb + 1,), bool).at[
-        jnp.where(region_rows[:, None], nbr, mb)
-    ].set(True)[:-1]
-    in_set = (in_set | nbr_of_region) & active
-    region_overflow = jnp.sum(in_set) > k
+    # Compact working set: region rows + their neighbor sources. Both
+    # probe passes run on <= k rows (probe_neighbor_rows), never the
+    # full pool. If the region alone exceeds k, the truncated probe may
+    # under-build in_set, but sum(in_set) >= sum(region) > k flags
+    # overflow regardless and the caller retries with a bigger budget.
+    reg_rows = jnp.nonzero(region_rows, size=k, fill_value=-1)[0]
+    reg_ok = reg_rows >= 0
+    nbr_r = probe_neighbor_rows(esdf_layer, reg_rows, reg_ok)  # [k, 27]
+    in_set = region_rows | jnp.zeros((mb + 1,), bool).at[
+        jnp.where(nbr_r >= 0, nbr_r, mb)
+    ].set(True, mode="drop")[:-1]
+    in_set = in_set & active
+    region_overflow = (jnp.sum(in_set) > k) | (jnp.sum(region_rows) > k)
     rows = jnp.nonzero(in_set, size=k, fill_value=-1)[0]
     r_ok = rows >= 0
     safe = jnp.where(r_ok, rows, 0)
     inv = jnp.full((mb + 1,), -1, jnp.int32).at[
         jnp.where(r_ok, rows, mb)
     ].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
-    # Remap neighbor slots to compact indices.
-    nbr_c = inv[jnp.where(nbr >= 0, nbr, mb)][safe]  # [k, 27]
+    # Probe the compacted rows' neighborhoods, remapped to compact ids.
+    nbr_k = probe_neighbor_rows(esdf_layer, rows, r_ok)  # [k, 27]
+    nbr_c = inv[jnp.where(nbr_k >= 0, nbr_k, mb)]
     nbr_c = jnp.where(r_ok[:, None], nbr_c, -1)
 
     d_c = esdf_layer.channels["esdf"][safe]
@@ -1024,6 +1045,20 @@ def _batch_jit(esdf_layer, tsdf_layer, cfg: EsdfIntegratorConfig):
         )
     esdf_layer, iters, region_ovf = lower_sweep(esdf_layer, cfg)
     return esdf_layer, overflow, region_ovf | seed_ovf, iters
+
+
+def update_from_tsdf_batch_deferred(esdf_layer, tsdf_layer,
+                                    cfg: EsdfIntegratorConfig):
+    """update_from_tsdf_batch WITHOUT the synchronous overflow retry:
+    returns (esdf_layer, overflow, region_ovf, iters) with both flags as
+    DEVICE scalars. Callers that pipeline several updates (a bench, an
+    offline rebuild loop) check the flags once at the end — the eager
+    bool() in the retry wrapper is a full pipeline sync (~25-70 ms
+    through a remote-TPU tunnel) per call. On region_ovf, recover like
+    the deferred incremental path: grow_bucket_cache + a fresh batch
+    run."""
+    run_cfg = _bucketed_cfg(cfg, esdf_layer, tsdf_layer)
+    return _batch_jit(esdf_layer, tsdf_layer, run_cfg)
 
 
 def update_from_tsdf_incremental(
