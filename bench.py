@@ -411,6 +411,7 @@ def _bench_online(jax, jnp, *, voxel, scans, cfg, intrinsics, res, virt,
         min_distance_m=2 * voxel, max_active_blocks=1024,
         use_pallas_kernel=True, inner_sweeps=4,
     )
+    fx = res[0] / (2.0 * np.tan(np.deg2rad(60.0) / 2.0))
     srv = EsdfServer(
         map_config=MapConfig(voxel_size=voxel, max_blocks=4096),
         integrator_config=cfg,
@@ -418,6 +419,11 @@ def _bench_online(jax, jnp, *, voxel, scans, cfg, intrinsics, res, virt,
         method="projective",
         projective_resolution=virt,
         projective_fov_deg=60.0,
+        # Organized fast path: scans are raster-ordered [H, W, 3] Kinect
+        # clouds (the reference's cow-and-lady subscription) — binning
+        # is the scatter-free min-pool.
+        projective_intrinsics=(fx, fx, res[0] / 2.0, res[1] / 2.0),
+        projective_pool=res[0] // virt[0],
         projective_max_visible_blocks=256,
         projective_max_mixed_slabs=2048,
         projective_max_free_slabs=512,
@@ -431,9 +437,7 @@ def _bench_online(jax, jnp, *, voxel, scans, cfg, intrinsics, res, virt,
 
     def step(i):
         R, pos, pts_C, cols = scans[i % len(scans)]
-        srv.insert_pointcloud_and_update_esdf(
-            (R, pos), pts_C.reshape(-1, 3), cols.reshape(-1, 3)
-        )
+        srv.insert_pointcloud_and_update_esdf((R, pos), pts_C, cols)
 
     print("online-loop compile...", file=sys.stderr)
     # Warm a full circle: every block the timed scans will touch exists

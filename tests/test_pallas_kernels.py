@@ -100,58 +100,6 @@ def test_sweep_with_pallas_flag_matches_xla():
     assert det3.rmse < 5e-3, str(det3)
 
 
-def test_window_gather_interpret(rng):
-    """Coherent window gather == direct indexing (interpreter mode)."""
-    from voxblox_tpu.ops.pallas import window_gather as wg
-
-    H, W, C = 48, 320, 4
-    img = rng.uniform(0, 10, (H, W, C)).astype(np.float32)
-    windows = wg.build_windows(jnp.asarray(img))
-    hb, wb = windows.shape[0], windows.shape[1]
-
-    G = 6
-    # Coherent groups: small windows of coordinates.
-    vi = np.zeros((G, 128), np.int32)
-    ui = np.zeros((G, 128), np.int32)
-    valid = np.ones((G, 128), bool)
-    for g in range(G):
-        v0 = rng.integers(0, H - 8)
-        u0 = rng.integers(0, W - 100)
-        vi[g] = v0 + rng.integers(0, 7, 128)
-        ui[g] = u0 + rng.integers(0, 100, 128)
-    valid[0, :5] = False  # some invalid lanes
-
-    vb, ub, vloc, uloc, in_win = wg.plan_groups(
-        jnp.asarray(vi), jnp.asarray(ui), jnp.asarray(valid), hb, wb
-    )
-    assert bool(jnp.all(in_win == jnp.asarray(valid)))
-    out = wg.window_gather(windows, vb, ub, vloc, uloc, interpret=True)
-    out = np.asarray(out)  # [G, C, 128] planar
-    for g in range(G):
-        for l in range(128):
-            if valid[g, l]:
-                np.testing.assert_allclose(
-                    out[g, :, l], img[vi[g, l], ui[g, l]], rtol=1e-6,
-                    err_msg=f"group {g} lane {l}",
-                )
-
-
-def test_window_gather_span_fallback(rng):
-    """Groups whose pixel span exceeds the window report fallback lanes."""
-    from voxblox_tpu.ops.pallas import window_gather as wg
-
-    H, W, C = 48, 640, 2
-    img = rng.uniform(0, 1, (H, W, C)).astype(np.float32)
-    windows = wg.build_windows(jnp.asarray(img))
-    hb, wb = windows.shape[0], windows.shape[1]
-    vi = np.full((1, 128), 4, np.int32)
-    ui = np.linspace(0, 500, 128).astype(np.int32)[None]  # span > 256
-    valid = np.ones((1, 128), bool)
-    vb, ub, vloc, uloc, in_win = wg.plan_groups(
-        jnp.asarray(vi), jnp.asarray(ui), jnp.asarray(valid), hb, wb
-    )
-    in_win = np.asarray(in_win)
-    assert in_win[0, 0] and not in_win[0, -1]
 
 
 def test_strided_sweeps_do_not_tunnel_unobserved_gaps():
@@ -271,47 +219,3 @@ def test_strided_sweeps_match_on_partially_observed_blocks(rng):
     )
 
 
-def test_window_gather_batched_interpret(rng):
-    """Batched (GPB-groups-per-step) window gather == direct indexing on
-    bf16-representable images (its documented contract), including the
-    plan_steps sort/pack/unsort round trip."""
-    import jax
-    from voxblox_tpu.ops.pallas import window_gather as wg
-
-    H, W, C = 48, 640, 3
-    img = rng.uniform(0, 10, (H, W, C)).astype(np.float32)
-    img = np.asarray(
-        jnp.asarray(img).astype(jnp.bfloat16).astype(jnp.float32)
-    )
-    windows = wg.build_windows(jnp.asarray(img))
-    hb, wb = windows.shape[0], windows.shape[1]
-
-    G, GPB = 24, 4
-    vi = np.zeros((G, 128), np.int32)
-    ui = np.zeros((G, 128), np.int32)
-    valid = np.ones((G, 128), bool)
-    for g in range(G):
-        v0 = rng.integers(0, H - 8)
-        u0 = rng.integers(0, W - 100)
-        vi[g] = v0 + rng.integers(0, 7, 128)
-        ui[g] = u0 + rng.integers(0, 100, 128)
-    valid[1, :7] = False
-
-    n_steps = G // GPB + hb * wb
-    vb_s, ub_s, vloc_s, uloc_s, flat_of, in_win = wg.plan_steps(
-        jnp.asarray(vi), jnp.asarray(ui), jnp.asarray(valid), hb, wb,
-        GPB, n_steps,
-    )
-    out = wg.window_gather_batched(
-        windows, vb_s, ub_s, vloc_s, uloc_s, interpret=True
-    )
-    per_group = np.asarray(wg.gather_packed(out, flat_of, GPB))
-    iw = np.asarray(in_win)
-    assert iw[valid].mean() > 0.95  # coherent groups stay in-window
-    for g in range(G):
-        for l in range(0, 128, 17):
-            if iw[g, l]:
-                np.testing.assert_allclose(
-                    per_group[g, :, l], img[vi[g, l], ui[g, l]],
-                    rtol=1e-6, err_msg=f"group {g} lane {l}",
-                )

@@ -103,6 +103,61 @@ def test_esdf_server_pipeline(tmp_path):
     assert stats["num_scans"] == 1
 
 
+def test_fused_step_organized_matches_flat_cloud():
+    """The fused online step's organized fast path (scatter-free
+    min-pool binning of a raster [H,W,3] cloud) builds the same kind of
+    map as the flat-cloud scatter-binned path."""
+    w = _world()
+    objs = w.freeze()
+    res = (64, 48)
+    fov = float(np.deg2rad(60.0))
+    fx = res[0] / (2.0 * np.tan(fov / 2.0))
+
+    def make_server(organized):
+        kw = dict(
+            map_config=MapConfig(voxel_size=0.2, max_blocks=1024),
+            integrator_config=TsdfIntegratorConfig(
+                default_truncation_distance=0.8, max_ray_length_m=10.0
+            ),
+            esdf_config=EsdfIntegratorConfig(
+                max_distance_m=2.0, default_distance_m=2.0,
+                min_distance_m=0.4, max_active_blocks=256,
+            ),
+            method="projective",
+            projective_resolution=(32, 24),
+            projective_fov_deg=60.0,
+        )
+        if organized:
+            kw["projective_intrinsics"] = (fx, fx, res[0] / 2, res[1] / 2)
+            kw["projective_pool"] = 2
+        return EsdfServer(**kw)
+
+    srv_o, srv_f = make_server(True), make_server(False)
+    from voxblox_tpu.utils import evaluation
+
+    for i in range(2):
+        a = 2 * np.pi * i / 8
+        pos = jnp.asarray([4 * np.cos(a), 4 * np.sin(a), 2.0], jnp.float32)
+        view = jnp.asarray([-np.cos(a), -np.sin(a), 0.0], jnp.float32)
+        R = sw.rotation_from_two_vectors(jnp.asarray([0.0, 0.0, 1.0]), view)
+        pts, cols, valid, _ = sw.organized_pointcloud_from_transform(
+            objs, (R, pos), res, fov, 10.0
+        )
+        srv_o.insert_pointcloud_and_update_esdf((R, pos), pts, cols)
+        srv_f.insert_pointcloud_and_update_esdf(
+            (R, pos), pts.reshape(-1, 3), cols.reshape(-1, 3)
+        )
+    srv_o.check_overflow()
+    srv_f.check_overflow()
+    n_o = evaluation.count_observed(srv_o.layer)
+    n_f = evaluation.count_observed(srv_f.layer)
+    assert n_o > 1000
+    # Different virtual images (exact-intrinsics min-pool vs fov
+    # re-projection) -> same scene coverage within a modest margin.
+    assert 0.6 < n_o / n_f < 1.7, (n_o, n_f)
+    assert evaluation.count_observed(srv_o.esdf_layer) > 1000
+
+
 def test_transform_layer_identity_and_shift():
     w = _world()
     objs = w.freeze()

@@ -573,42 +573,42 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
         cfg.use_pallas_kernel and not full_euclid
         and esdf_layer.vps == 16
     )
-    # The observed/update halo arrays do not change across outer
-    # iterations — build them once, outside the while loop (only the
-    # distance halo must be re-exchanged per outer).
-    obs_pad = _padded(view, obs_f, nbr, jnp.float32(0.0)) > 0.5
     if use_pallas:
         # Fully 2D pipeline: state stays in the kernel layout across
         # outer iterations (the per-call cube<->2D relayouts cost ~5 ms
-        # per outer at 512 blocks), and the distance halo is exchanged
-        # directly in 2D (_halo_exchange_2d).
+        # per outer at 512 blocks), the distance halo is exchanged
+        # directly in 2D (_halo_exchange_2d), and the INITIAL state is
+        # assembled interior-only in 2D + one exchange — the padded-cube
+        # route ([.., 18] minor dims tile-pad 18 -> 128, 7x HBM) cost
+        # ~8 ms/scan of dynamic-update-slices on the online trace.
         import jax as _jax
 
         from .pallas import esdf_relax as _pk
 
         pallas_interpret = _jax.default_backend() != "tpu"
-        o2 = _pk.to_2d(obs_pad.astype(jnp.float32))
-        upd_pad = jnp.zeros(obs_pad.shape, jnp.float32).at[
-            :, 1:-1, 1:-1, 1:-1
-        ].set(upd_mask.astype(jnp.float32))
-        u2 = _pk.to_2d(upd_pad)
         n_rows = d.shape[0]
-        bt = o2.shape[0] // 18
+        u2 = _pk.interior_to_2d(upd_mask.astype(jnp.float32))
+        bt = u2.shape[0] // 18
         nbr_pad = jnp.concatenate(
             [nbr, jnp.full((bt - n_rows, 27), -1, nbr.dtype)], axis=0
         ) if bt > n_rows else nbr
-        d20 = _pk.to_2d(_padded(view, d, nbr, jnp.float32(0.0)))
+        o2 = _halo_exchange_2d(
+            _pk.interior_to_2d(obs_f), nbr_pad, bt
+        )
+        d20 = _halo_exchange_2d(
+            _pk.interior_to_2d(d), nbr_pad, bt
+        )
         # Strided-jump soundness gates: observedness, fixedness and
         # voxel signs are static across sweeps, so the per-voxel
         # admissibility codes are computed once from the seeded state.
         codes = None
         if cfg.sweep_strides and any(k > 1 for k in cfg.sweep_strides):
-            fix_pad = _padded(
-                view, fixed.astype(jnp.float32), nbr, jnp.float32(0.0)
+            f2 = _halo_exchange_2d(
+                _pk.interior_to_2d(fixed.astype(jnp.float32)),
+                nbr_pad, bt,
             )
             codes = _stride_codes_2d(
-                d20, o2, _pk.to_2d(fix_pad), nbr_pad, bt,
-                cfg.sweep_strides,
+                d20, o2, f2, nbr_pad, bt, cfg.sweep_strides,
             )
 
         def outer_cond2(state):
@@ -641,6 +641,11 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
                 d_out, mode="drop", unique_indices=True
             )
         return dataclasses.replace(esdf_layer, channels=ch), iters
+
+    # XLA fallback path: the observed halo does not change across outer
+    # iterations — build it once, outside the while loop (only the
+    # distance halo must be re-exchanged per outer).
+    obs_pad = _padded(view, obs_f, nbr, jnp.float32(0.0)) > 0.5
 
     def outer_body(state):
         dd, pp, _, it = state
@@ -938,13 +943,20 @@ def _dilate_rows(layer, rows_mask, radius_blocks: int, nbr=None):
     return rows_mask & layer.active_mask()
 
 
-def reset_region(esdf_layer, region_rows, cfg):
-    """Reset non-fixed voxels of the region to sign*default (raise)."""
+def reset_region(esdf_layer, region_rows, cfg, keep_below=None):
+    """Reset non-fixed voxels of the region to sign*default (raise).
+
+    ``keep_below``: optional f32[max_blocks] per-row distance margin —
+    voxels with |d| < keep_below[row] keep their value (their source
+    seed provably lies outside the raised set; see _incremental_jit's
+    Chebyshev-reach gate)."""
     flags = esdf_layer.channels["esdf_flags"]
     obs = (flags & OBS) != 0
     fixed = (flags & FIX) != 0
     d = esdf_layer.channels["esdf"]
     m = obs & ~fixed & region_rows[:, None, None, None]
+    if keep_below is not None:
+        m = m & (jnp.abs(d) >= keep_below[:, None, None, None])
     sgn = jnp.where(d >= 0.0, 1.0, -1.0)
     d = jnp.where(m, sgn * cfg.default_distance_m, d)
     ch = dict(esdf_layer.channels)
@@ -1150,8 +1162,26 @@ def _incremental_jit(esdf_layer, tsdf_layer, cfg):
         1, int(np.ceil(cfg.max_distance_m / esdf_layer.block_size))
     )
     nbr = neighbor_slot_table(esdf_layer)
-    raise_region = _dilate_rows(esdf_layer, raised_rows, radius, nbr=nbr)
-    esdf_layer = reset_region(esdf_layer, raise_region, cfg)
+    # Chebyshev block-graph arrival distance to the raised set (0 = a
+    # raised row itself; radius+1 = outside the dilated region). Blocks
+    # at graph distance c are >= (c-1)*block_size from every raised
+    # block, so a voxel with |d| < (c-1)*block_size cannot have its
+    # source seed inside the raised set and KEEPS its value — without
+    # the gate, one raised block per scan reset a 3-block-radius region
+    # wholesale and the online sweep re-converged the whole field every
+    # scan (11 outers/scan on the orbit loop, xplane-traced).
+    reach = jnp.where(raised_rows, 0, radius + 1)
+    mask = raised_rows
+    for it in range(1, radius + 1):
+        mask = _dilate_rows(esdf_layer, mask, 1, nbr=nbr)
+        reach = jnp.minimum(reach, jnp.where(mask, it, radius + 1))
+    raise_region = mask
+    margin = (
+        jnp.maximum(reach - 1, 0).astype(jnp.float32)
+        * esdf_layer.block_size
+    )
+    esdf_layer = reset_region(esdf_layer, raise_region, cfg,
+                              keep_below=margin)
     # Sweep region: everything the seeds/resets can influence.
     sweep_region = _dilate_rows(
         esdf_layer, changed_rows | raise_region, radius, nbr=nbr

@@ -239,6 +239,43 @@ def from_2d(x2, b: int):
     return x2[: b * P, : P * P].reshape(-1, P, P, P)[:b]
 
 
+_SPREAD_NP = None
+
+
+def _spread_matrix():
+    """One-hot f32[256, LANE_PAD]: interior lane y*16+x -> padded lane
+    (1+y)*18+(1+x)."""
+    global _SPREAD_NP
+    if _SPREAD_NP is None:
+        y, x = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+        dst = ((1 + y) * P + (1 + x)).reshape(-1)
+        m = np.zeros((256, LANE_PAD), np.float32)
+        m[np.arange(256), dst] = 1.0
+        _SPREAD_NP = m
+    return _SPREAD_NP
+
+
+def interior_to_2d(values, block_tile: int = 8):
+    """[B, 16, 16, 16] unpadded blocks -> kernel layout [BT*18, LANE_PAD]
+    with a ZERO halo ring, via one one-hot MXU spread per z-row.
+
+    The to_2d(_padded(...)) route materializes [B, 18, 18, 18] cubes
+    whose minor dim 18 tile-pads 18 -> 128 (7x HBM; the padded-cube
+    assembly measured ~8 ms/scan on the fused online trace). Here the
+    only intermediates are [B*16, 256] / [.., LANE_PAD] flats. Follow
+    with one _halo_exchange_2d to fill the ring from neighbors (missing
+    neighbors keep the 0 ring = the pad fill); update masks that need a
+    zero ring use the result directly."""
+    b = values.shape[0]
+    flat = values.reshape(b * 16, 256).astype(jnp.float32)
+    rows2 = jnp.dot(flat, jnp.asarray(_spread_matrix()),
+                    precision=jax.lax.Precision.HIGHEST)
+    cube = rows2.reshape(b, 16, LANE_PAD)
+    bt = -(-b // block_tile) * block_tile
+    cube = jnp.pad(cube, ((0, bt - b), (1, 1), (0, 0)))
+    return cube.reshape(bt * P, LANE_PAD)
+
+
 def stride_radii(strides) -> tuple:
     """Erosion radii the admissibility codes must capture, in LEVEL
     order: level i+1 of the codes corresponds to radii()[i] = k_i - 1

@@ -58,6 +58,12 @@ class TsdfServer:
         projective_resolution=(320, 240),
         projective_fov_deg: float = 90.0,
         projective_kind: str = "pinhole",
+        # Organized fast path: source-raster (fx, fy, cx, cy) + min-pool
+        # factor. When set, [H, W, 3] raster-ordered clouds bin via the
+        # scatter-free organized min-pool (PCL "organized" clouds — the
+        # reference's cow-and-lady subscription).
+        projective_intrinsics=None,
+        projective_pool: int = 1,
         # Throughput budgets (None = safe unbounded; see ops/projective).
         projective_max_visible_blocks: int = 512,
         projective_max_mixed_slabs: Optional[int] = None,
@@ -78,6 +84,11 @@ class TsdfServer:
         self.projective_resolution = tuple(projective_resolution)
         self.projective_fov = float(np.deg2rad(projective_fov_deg))
         self.projective_kind = projective_kind
+        self.projective_intrinsics = (
+            tuple(float(v) for v in projective_intrinsics)
+            if projective_intrinsics is not None else None
+        )
+        self.projective_pool = int(projective_pool)
         self.projective_budgets = dict(
             max_visible_blocks=projective_max_visible_blocks,
             max_mixed_slabs=projective_max_mixed_slabs,
@@ -327,21 +338,36 @@ from functools import partial as _partial
 @_partial(
     jax.jit,
     static_argnames=("tcfg", "ecfg", "resolution", "fov_h_rad", "kind",
-                     "mvb", "mms", "mfs"),
+                     "mvb", "mms", "mfs", "intrinsics", "pool"),
 )
 def _fused_scan_jit(layer, esdf_layer, R, t, points_C, colors, tcfg, ecfg,
-                    resolution, fov_h_rad, kind, mvb, mms, mfs):
+                    resolution, fov_h_rad, kind, mvb, mms, mfs,
+                    intrinsics=None, pool=1):
     """One device program: projective integrate + incremental ESDF
     (EsdfServer.insert_pointcloud_and_update_esdf). ``ecfg`` must
     already be bucketed (esdf._bucketed_cfg) — overflow flags come back
-    as device scalars for deferred checking."""
+    as device scalars for deferred checking. With ``intrinsics`` set and
+    a raster-ordered [H, W, 3] cloud, binning is the scatter-free
+    organized min-pool (the unstructured scatter binner's ~3 random
+    memory ops/point cost ~7 ms/scan on the fused-step trace; organized
+    clouds are what the reference's cow-and-lady pipeline subscribes
+    to)."""
     from ..ops import projective as projective_ops
 
-    layer, t_ovf = projective_ops.integrate_pointcloud_projective(
-        layer, (R, t), points_C, colors, tcfg,
-        resolution=resolution, fov_h_rad=fov_h_rad, kind=kind,
-        max_visible_blocks=mvb, max_mixed_slabs=mms, max_free_slabs=mfs,
-    )
+    if intrinsics is not None and points_C.ndim == 3:
+        layer, t_ovf = projective_ops.integrate_organized_projective(
+            layer, (R, t), points_C, colors, tcfg,
+            intrinsics=intrinsics, pool=pool,
+            max_visible_blocks=mvb, max_mixed_slabs=mms,
+            max_free_slabs=mfs,
+        )
+    else:
+        layer, t_ovf = projective_ops.integrate_pointcloud_projective(
+            layer, (R, t), points_C, colors, tcfg,
+            resolution=resolution, fov_h_rad=fov_h_rad, kind=kind,
+            max_visible_blocks=mvb, max_mixed_slabs=mms,
+            max_free_slabs=mfs,
+        )
     esdf_layer, layer, e_ovf, region_ovf, iters = esdf_ops._incremental_jit(
         esdf_layer, layer, ecfg
     )
@@ -397,7 +423,11 @@ class EsdfServer(TsdfServer):
         if colors is None:
             colors = jnp.zeros_like(points_C)
         colors = jnp.asarray(colors, jnp.float32)
-        points_C, colors = self._pad(points_C, colors)
+        organized = (
+            points_C.ndim == 3 and self.projective_intrinsics is not None
+        )
+        if not organized:
+            points_C, colors = self._pad(points_C, colors)
         if not isinstance(T_G_C, tuple):
             T_G_C = (jnp.asarray(T_G_C[:3, :3]), jnp.asarray(T_G_C[:3, 3]))
         run_cfg = esdf_ops._bucketed_cfg(
@@ -412,6 +442,9 @@ class EsdfServer(TsdfServer):
                 self.projective_resolution, self.projective_fov,
                 self.projective_kind, b["max_visible_blocks"],
                 b["max_mixed_slabs"], b["max_free_slabs"],
+                intrinsics=(self.projective_intrinsics if organized
+                            else None),
+                pool=self.projective_pool,
             )
         self._overflow_acc = (
             t_ovf if self._overflow_acc is None
