@@ -183,7 +183,11 @@ def _bench_mesh(jax, jnp, *, layer, voxel, **_):
     from voxblox_tpu.core.config import MeshIntegratorConfig
     from voxblox_tpu.ops import mesh as mesh_ops
 
-    mcfg = MeshIntegratorConfig()
+    # Surface-cube budget: the orbit scene keeps ~6-7k cubes per
+    # 64-block update (worst case 32768 = bucket * tri_cap); the whole
+    # post-compaction chain scales with the budget, and spills are
+    # flagged + dense-fallback'd, never dropped.
+    mcfg = MeshIntegratorConfig(march_cube_budget=8192)
     pool = mesh_ops.make_mesh_pool(layer.max_blocks, mcfg.device_tri_cap)
     active_rows = np.nonzero(np.asarray(layer.active_mask()))[0]
     bucket = 64

@@ -74,6 +74,34 @@ def test_mesh_pool_overflow_rows_fall_back_to_dense():
     _assert_same_mesh(ml_pool, ml_host)
 
 
+def test_mesh_pool_cube_budget_spill_falls_back_to_dense():
+    """A march_cube_budget smaller than the surface-cube count flags the
+    spilled rows (dense fallback on export) and never corrupts the
+    mesh."""
+    layer = _sphere_gt_layer()
+    cfg = MeshIntegratorConfig(march_cube_budget=512)  # scene needs more
+    ml_host = _host_mesh(layer, cfg)
+    pool = vmesh.make_mesh_pool(layer.max_blocks, cfg.device_tri_cap)
+    layer, pool = _drain(layer, pool, cfg, bucket=64)
+    assert bool(jnp.any(pool.overflow_rows))  # budget spill flagged
+    ml_pool = vmesh.pool_to_mesh_layer(layer, pool, vmesh.MeshLayer(
+        layer.block_size), cfg)
+    _assert_same_mesh(ml_pool, ml_host)
+
+    # A generous budget spills nothing and matches exactly too.
+    cfg2 = MeshIntegratorConfig(march_cube_budget=32768)
+    layer = vlayer.mark_dirty(
+        layer, jnp.arange(layer.max_blocks, dtype=jnp.int32),
+        layer.active_mask(), vlayer.DIRTY_MESH,
+    )
+    pool2 = vmesh.make_mesh_pool(layer.max_blocks, cfg2.device_tri_cap)
+    layer, pool2 = _drain(layer, pool2, cfg2, bucket=64)
+    assert not bool(jnp.any(pool2.overflow_rows))
+    ml2 = vmesh.pool_to_mesh_layer(layer, pool2, vmesh.MeshLayer(
+        layer.block_size), cfg2)
+    _assert_same_mesh(ml2, ml_host)
+
+
 def test_mesh_pool_incremental_bucket_semantics():
     """A bucket smaller than the dirty set meshes only the first rows,
     leaves the rest dirty (more=True) and never loses blocks."""

@@ -122,6 +122,14 @@ class MeshIntegratorConfig:
     # bucket stay dirty for the next update).
     device_tri_cap: int = 512
     update_bucket: int = 64
+    # Cap on COMPACTED surface cubes per update program (None = every
+    # cube may survive: bucket * tri_cap). The whole post-compaction
+    # chain — corner taps, edge lerps, color selects, content scatter —
+    # scales with this budget, and typical scenes keep far fewer cubes
+    # than the worst case; rows whose cubes spill past the budget are
+    # flagged overflow and re-meshed through the dense fallback on
+    # export, so a tight budget can never corrupt the mesh.
+    march_cube_budget: "int | None" = None
 
 
 @dataclasses.dataclass(frozen=True)

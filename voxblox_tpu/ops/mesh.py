@@ -437,11 +437,11 @@ def _nbr8_for_rows(layer: vlayer.VoxelLayer, rows, row_ok):
 
 @partial(jax.jit,
          static_argnames=("min_weight", "use_color", "bucket",
-                          "only_updated"),
+                          "only_updated", "cube_budget"),
          donate_argnums=(1,))
 def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
                           min_weight: float, use_color: bool, bucket: int,
-                          only_updated: bool):
+                          only_updated: bool, cube_budget=None):
     """March up to ``bucket`` dirty rows and replace their mesh-pool rows.
 
     ONE program, NO host transfer: row selection, marching, per-block
@@ -517,7 +517,17 @@ def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
     # ---- compact surface cubes (start < cap => <= B*cap kept) ----------
     n_cubes = b * v**3
     t_budget = b * cap
+    if cube_budget is not None:
+        t_budget = min(int(cube_budget), t_budget)
     keep_cube = (counts_cube > 0) & (start < cap)
+    if t_budget < b * cap:
+        # The compaction keeps the FIRST t_budget surviving cubes in
+        # block-major order, so any spill hits the trailing bucket rows:
+        # flag every row whose cumulative kept-cube count passes the
+        # budget (its content may be partial) — they re-mesh through the
+        # dense fallback on export, like tri_cap overflow.
+        kept_per_row = jnp.sum(keep_cube, axis=1)
+        ovf = ovf | (jnp.cumsum(kept_per_row) > t_budget)
     cid = jnp.nonzero(keep_cube.reshape(-1), size=t_budget,
                       fill_value=n_cubes)[0]
     ok = cid < n_cubes
@@ -640,15 +650,18 @@ def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
     tidx = jnp.arange(mc.MAX_TRIS, dtype=jnp.int32)[None, :]
     slot = start_c[:, None] + tidx  # [T,5]
     keep_tri = ok[:, None] & (tidx < count_c[:, None]) & (slot < cap)
-    # Dropped triangles get DISTINCT out-of-bounds slots (t_budget + i) so
+    # Dropped triangles get DISTINCT out-of-bounds slots (n_slots + i) so
     # the unique_indices promise holds for every index, not just the kept
     # ones (duplicate indices are UB per the JAX scatter contract even
-    # when mode="drop" discards them).
-    oob = t_budget + jnp.arange(
+    # when mode="drop" discards them). Content covers ALL bucket slots
+    # (b * cap) regardless of the cube budget — the budget shrinks the
+    # compacted cube set, not the pool rows.
+    n_slots = b * cap
+    oob = n_slots + jnp.arange(
         t_budget * mc.MAX_TRIS, dtype=jnp.int32
     ).reshape(t_budget, mc.MAX_TRIS)
     dst = jnp.where(keep_tri, cb[:, None] * cap + slot, oob)
-    content = jnp.zeros((t_budget, 12), jnp.float32)
+    content = jnp.zeros((n_slots, 12), jnp.float32)
     content = content.at[dst.reshape(-1)].set(
         packed.reshape(-1, 12), mode="drop", unique_indices=True
     )
@@ -690,6 +703,8 @@ def update_mesh_pool(layer: vlayer.VoxelLayer, pool: MeshPool,
     flags, pool, more = _update_mesh_pool_jit(
         layer, pool, cfg.min_weight, use_color, int(bucket),
         bool(only_updated),
+        cube_budget=(None if cfg.march_cube_budget is None
+                     else int(cfg.march_cube_budget)),
     )
     return dataclasses.replace(layer, block_flags=flags), pool, more
 
