@@ -54,7 +54,7 @@ layer, _ = projective.integrate_organized_projective_batch(
 jax.block_until_ready(layer.channels["tsdf"])
 print("blocks:", int(layer.num_blocks), file=sys.stderr)
 
-mcfg = MeshIntegratorConfig()
+mcfg = MeshIntegratorConfig(march_cube_budget=8192)
 pool = mesh_ops.make_mesh_pool(layer.max_blocks, mcfg.device_tri_cap)
 active_rows = np.nonzero(np.asarray(layer.active_mask()))[0]
 bucket = 64
