@@ -108,6 +108,71 @@ def test_mesh_msg_empty_block_deletes():
     assert key not in ml.blocks
 
 
+def test_server_publish_mesh_msg_streams_deltas():
+    """TsdfServer.publish_mesh_msg: first publish ships the whole map,
+    a new scan ships only its re-meshed blocks, and a subscriber
+    applying the deltas converges to the server's own export."""
+    import numpy as np
+
+    from voxblox_tpu.core.config import MapConfig, TsdfIntegratorConfig
+    from voxblox_tpu.server.mapper import TsdfServer
+    from voxblox_tpu.sim import world as sw2
+
+    w = sw2.SimulationWorld()
+    w.add_sphere((0.0, 0.0, 1.0), 0.8, color=(200, 40, 40))
+    w.add_ground_level(-0.5)
+    objs = w.freeze()
+    srv = TsdfServer(
+        MapConfig(voxel_size=0.1, voxels_per_side=8, max_blocks=2048),
+        integrator_config=TsdfIntegratorConfig(
+            default_truncation_distance=0.4, max_ray_length_m=5.0
+        ),
+        method="projective",
+        projective_resolution=(40, 30),
+        projective_fov_deg=60.0,
+    )
+    sub = vmesh.MeshLayer(srv.layer.block_size)
+
+    import jax.numpy as jnp2
+
+    def scan(i):
+        a = 2 * np.pi * i / 8
+        pos = jnp2.asarray([2.5 * np.cos(a), 2.5 * np.sin(a), 1.0],
+                           jnp2.float32)
+        view = jnp2.asarray([-np.cos(a), -np.sin(a), 0.0], jnp2.float32)
+        R = sw2.rotation_from_two_vectors(jnp2.asarray([0.0, 0.0, 1.0]),
+                                          view)
+        pts, cols, _, _ = sw2.organized_pointcloud_from_transform(
+            objs, (R, pos), (40, 30), np.deg2rad(60.0), 5.0
+        )
+        srv.insert_pointcloud((R, pos), pts.reshape(-1, 3),
+                              cols.reshape(-1, 3))
+
+    scan(0)
+    data0 = srv.publish_mesh_msg()
+    msg0 = wire.deserialize_mesh_msg(data0)
+    assert len(msg0.blocks) > 2
+    wire.apply_mesh_msg(sub, msg0)
+
+    # No new data -> empty delta.
+    assert wire.deserialize_mesh_msg(srv.publish_mesh_msg()).blocks == []
+
+    scan(1)
+    data1 = srv.publish_mesh_msg()
+    msg1 = wire.deserialize_mesh_msg(data1)
+    assert 0 < len(msg1.blocks)
+    wire.apply_mesh_msg(sub, msg1)
+
+    ml = srv.export_mesh_layer()
+    assert set(sub.blocks) == set(ml.blocks)
+    qstep = 2.0 * srv.layer.block_size / 65535.0
+    for key in ml.blocks:
+        np.testing.assert_allclose(
+            sub.blocks[key].vertices, ml.blocks[key].vertices,
+            atol=0.75 * qstep,
+        )
+
+
 def test_mesh_msg_quantization_granularity():
     """Worst-case vertex error is half the wire step (MeshBlock.msg:1:
     'rounded to nearest BLOCK_EDGE_LENGTH/65535' in 2*block units)."""
