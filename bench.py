@@ -442,7 +442,7 @@ def _bench_online(jax, jnp, *, voxel, scans, cfg, intrinsics, res, virt,
     # fully-integrated layer: pre-size the sweep bucket to that block
     # count so it never grows (= never recompiles) during the run.
     n_final = int(layer.num_blocks) if layer is not None else 512
-    esdf_ops.presize_bucket(ecfg, srv.esdf_layer, n_final + 64)
+    esdf_ops.presize_bucket(ecfg, srv.esdf_layer, n_final + 8)
 
     def step(i):
         R, pos, pts_C, cols = scans[i % len(scans)]

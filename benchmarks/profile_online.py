@@ -57,7 +57,7 @@ srv = EsdfServer(
     projective_max_mixed_slabs=2048, projective_max_free_slabs=512,
     overflow_check_interval=10_000,
 )
-esdf_ops.presize_bucket(srv.esdf_cfg, srv.esdf_layer, 420)
+esdf_ops.presize_bucket(srv.esdf_cfg, srv.esdf_layer, 373)
 
 def step(i):
     R, pos, pts_C, cols = scans[i % 16]

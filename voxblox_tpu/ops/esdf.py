@@ -978,13 +978,28 @@ def reset_region(esdf_layer, region_rows, cfg, keep_below=None):
 _BUCKET_CACHE: dict = {}
 
 
+def _bucket_for(n: int) -> int:
+    """Smallest working-set bucket >= n from the {3*2^i, 2^i} ladder
+    (64, 96, 128, 192, 256, 384, 512, ...). A pure power-of-2 ladder
+    wastes up to ~100% sweep cost on padding rows (a 365-block map swept
+    at 512); the 3/4-steps cap the waste at ~33% while keeping the
+    growth-recompile count within 2x of pow2 (each distinct bucket is a
+    new static config -> a remote recompile)."""
+    b = 64
+    while True:
+        for c in (b, 3 * b // 2):
+            if c >= n:
+                return c
+        b *= 2
+
+
 def _bucketed_cfg(cfg: EsdfIntegratorConfig, esdf_layer, tsdf_layer):
-    """Shrink cfg.max_active_blocks to a power-of-2 bucket that covers the
+    """Shrink cfg.max_active_blocks to a ladder bucket that covers the
     CURRENT map. The sweep cost scales with the working-set budget, so
     sweeping a 4096-row budget for a 400-block map wastes 90% of the
     kernel; overflow (the estimate can undershoot when the esdf/tsdf
     block sets are disjoint, or the cached bucket is stale) is detected
-    by lower_sweep and retried with a doubled bucket."""
+    by lower_sweep and retried with a grown bucket."""
     k = cfg.max_active_blocks
     if k is None or k >= esdf_layer.max_blocks:
         return cfg
@@ -992,10 +1007,7 @@ def _bucketed_cfg(cfg: EsdfIntegratorConfig, esdf_layer, tsdf_layer):
     b = _BUCKET_CACHE.get(key)
     if b is None:
         n = max(int(esdf_layer.num_blocks), int(tsdf_layer.num_blocks))
-        b = 64
-        while b < n:
-            b *= 2
-        b = min(b, k)
+        b = min(_bucket_for(n), k)
         _BUCKET_CACHE[key] = b
     if b >= k:
         return cfg
@@ -1119,10 +1131,7 @@ def presize_bucket(cfg: EsdfIntegratorConfig, esdf_layer, n_blocks: int):
             or cfg.max_active_blocks >= esdf_layer.max_blocks):
         return
     key = (esdf_layer.max_blocks, esdf_layer.vps, cfg.max_active_blocks)
-    b = 64
-    while b < int(n_blocks):
-        b *= 2
-    b = min(b, cfg.max_active_blocks)
+    b = min(_bucket_for(int(n_blocks)), cfg.max_active_blocks)
     _BUCKET_CACHE[key] = max(_BUCKET_CACHE.get(key, 0), b)
 
 
