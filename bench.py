@@ -371,12 +371,15 @@ def _bench_velodyne(jax, jnp, *, objs=None, **_):
     vlayer_ = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=16384)
 
     def run(l, i):
+        # Budgets sized to the measured working set + headroom (max over
+        # the 16 poses: 2739 visible rows, 14153 mixed slabs, 283 free);
+        # overflow is read + printed after timing.
         l, ovf = P.integrate_pointcloud_projective_batch(
             l, Rs, ts_ + i * 1e-5, pts, cols, vcfg,
             resolution=RESO, kind="spherical_organized",
             fov_up_deg=3.0, fov_down_deg=-25.0,
-            max_visible_blocks=3072, max_mixed_slabs=16384,
-            max_free_slabs=512,
+            max_visible_blocks=2944, max_mixed_slabs=15360,
+            max_free_slabs=384,
         )
         return l, ovf
 
