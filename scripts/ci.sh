@@ -1,24 +1,64 @@
 #!/usr/bin/env bash
 # CI entry point (the reference ships GitHub Actions container builds,
 # .github/workflows/build_test.yml:1-60; this is the TPU-native repo's
-# equivalent: a pure-CPU pytest run, split fast/slow).
+# equivalent: a pure-CPU pytest run).
 #
-#   scripts/ci.sh fast   # core suite, no slow marks (< ~3 min warm)
-#   scripts/ci.sh slow   # multi-device subprocesses + e2e pipelines
-#   scripts/ci.sh        # both groups
+# The suite runs in FOUR module groups, each its own process: jaxlib
+# 0.9.0's XLA:CPU backend segfaults inside backend_compile_and_load
+# deep into any single process that has compiled ~200 programs
+# (reproduced at ~test 115-130 of a full run, with and without the
+# persistent compilation cache). Bounded groups sidestep it; set
+# VOXBLOX_TEST_JAX_CACHE=<dir> to make warm reruns fast (never share
+# one cache dir between concurrent processes).
+#
+#   scripts/ci.sh        # all four groups, sequentially
+#   scripts/ci.sh N      # group N only (1-4)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 export JAX_PLATFORMS=cpu
 unset PALLAS_AXON_POOL_IPS || true
 
-group="${1:-all}"
-case "$group" in
-  fast) exec python -m pytest tests/ -q -m "not slow" ;;
-  slow) exec python -m pytest tests/ -q -m "slow" ;;
+g1="tests/test_cli_and_maps.py tests/test_dataset.py tests/test_esdf.py
+    tests/test_esdf_mesh.py tests/test_grid.py tests/test_hash.py"
+g2="tests/test_icp.py tests/test_integrator_flags.py tests/test_io.py
+    tests/test_layer.py tests/test_marching_cubes.py
+    tests/test_mesh_msg.py tests/test_mesh_pool.py"
+g3="tests/test_multihost.py tests/test_occupancy_intensity.py
+    tests/test_pallas_kernels.py tests/test_parallel.py
+    tests/test_projective.py"
+g4="tests/test_raycast.py tests/test_render.py tests/test_rosbag.py
+    tests/test_server.py tests/test_sim_world.py
+    tests/test_tsdf_integration.py tests/test_utils.py"
+
+run_group() {
+  eval "files=\$g$1"
+  # shellcheck disable=SC2086
+  python -m pytest $files -q
+}
+
+case "${1:-all}" in
+  1|2|3|4) run_group "$1" ;;
   all)
-    python -m pytest tests/ -q -m "not slow"
-    exec python -m pytest tests/ -q -m "slow"
+    for n in 1 2 3 4; do run_group "$n"; done
+    # Guard: every test file must be in exactly one group.
+    # shellcheck disable=SC2086
+    missing=$(python - <<'EOF'
+import glob, os, sys
+listed = set()
+for line in open("scripts/ci.sh"):
+    for tok in line.split():
+        if tok.startswith("tests/test_") and tok.endswith(".py"):
+            listed.add(tok.rstrip('"'))
+actual = set(glob.glob("tests/test_*.py"))
+missing = sorted(actual - listed)
+print(" ".join(missing))
+EOF
+)
+    if [ -n "$missing" ]; then
+      echo "ERROR: test files not covered by any ci.sh group: $missing" >&2
+      exit 1
+    fi
     ;;
-  *) echo "usage: scripts/ci.sh [fast|slow|all]" >&2; exit 2 ;;
+  *) echo "usage: scripts/ci.sh [1|2|3|4|all]" >&2; exit 2 ;;
 esac

@@ -19,16 +19,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # Persistent compilation cache: OPT-IN via VOXBLOX_TEST_JAX_CACHE=<dir>.
-# Default OFF for CPU test runs: the CPU backend's AOT
-# deserialize_executable path aborts the process partway through a long
-# full-suite run (reproduced 3x at the same cache read, jax 0.9.0 —
-# "Fatal Python error: Aborted" in compilation_cache.get_executable_and_
-# time -> backend.deserialize_executable; the loader also warns that the
-# compile-time machine features don't match the host). A cold suite
-# recompiles everything (~15-20 min); with a cache dir set, reruns are
-# fast but long single-process runs can die — use separate pytest
-# groups (scripts/ci.sh) with it. Never share one cache dir between
-# concurrent processes: two writers corrupt entries.
+# NOTE: jaxlib 0.9.0's XLA:CPU backend segfaults/aborts deep into ANY
+# long single pytest process (~200th compiled program, ~test 115-130 of
+# a full run) — inside backend_compile_and_load without the cache, or
+# inside deserialize_executable with it. ALWAYS run the suite in
+# bounded module groups (scripts/ci.sh runs four, each its own
+# process); a cache dir then makes warm reruns fast. Never share one
+# cache dir between concurrent processes: two writers corrupt entries
+# and later readers crash.
 _cache = os.environ.get("VOXBLOX_TEST_JAX_CACHE")
 if _cache:
     jax.config.update("jax_compilation_cache_dir", _cache)
