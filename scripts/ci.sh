@@ -44,12 +44,8 @@ case "${1:-all}" in
     # Guard: every test file must be in exactly one group.
     # shellcheck disable=SC2086
     missing=$(python - <<'EOF'
-import glob, os, sys
-listed = set()
-for line in open("scripts/ci.sh"):
-    for tok in line.split():
-        if tok.startswith("tests/test_") and tok.endswith(".py"):
-            listed.add(tok.rstrip('"'))
+import glob, re
+listed = set(re.findall(r"tests/test_\w+\.py", open("scripts/ci.sh").read()))
 actual = set(glob.glob("tests/test_*.py"))
 missing = sorted(actual - listed)
 print(" ".join(missing))
