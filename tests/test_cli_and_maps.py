@@ -119,13 +119,11 @@ def test_adaptive_distance_and_gradient():
     local = vgrid.linear_to_local(lin, 8)
     z = (local[:, 2].astype(jnp.float32) + 0.5) * h
     ch = dict(layer.channels)
-    ch["esdf"] = jnp.zeros_like(ch["esdf"]).at[0].set(
-        z.reshape(8, 8, 8)
-    )
+    ch["esdf"] = jnp.zeros_like(ch["esdf"]).at[0].set(z)
     # Voxels with local z >= 6 are unobserved.
     obs = jnp.where(local[:, 2] <= 5, vlayer.ESDF_OBSERVED, np.uint8(0))
     ch["esdf_flags"] = jnp.zeros_like(ch["esdf_flags"]).at[0].set(
-        obs.astype(jnp.uint8).reshape(8, 8, 8)
+        obs.astype(jnp.uint8)
     )
     layer = dataclasses.replace(layer, channels=ch)
     emap = EsdfMap(layer, MapConfig(voxel_size=h, voxels_per_side=8))
@@ -151,3 +149,45 @@ def test_adaptive_distance_and_gradient():
     # Border point: one-sided z difference + reconstructed distance.
     np.testing.assert_allclose(g[1], [0, 0, 1.0], atol=1e-5)
     np.testing.assert_allclose(d[1], 0.599, atol=1e-4)
+
+
+def test_traversable_points_and_cli(tmp_path):
+    """EsdfMap.traversable_points filters by robot radius
+    (esdf_server.cc:136-142) and the CLI exports the cloud."""
+    import dataclasses
+
+    from voxblox_tpu.core import layer as vlayer
+    from voxblox_tpu.io import layer_io
+
+    objs, layer, path = _small_map_file(tmp_path)
+    from voxblox_tpu.core.config import EsdfIntegratorConfig
+    from voxblox_tpu.ops import esdf as esdf_ops
+
+    el = vlayer.make_layer("esdf", 0.1, vps=8, max_blocks=512)
+    el, _, _ = esdf_ops.update_from_tsdf_batch(
+        el, layer, EsdfIntegratorConfig(max_distance_m=1.0,
+                                        default_distance_m=1.0)
+    )
+    emap = EsdfMap(el, MapConfig(voxel_size=0.1, voxels_per_side=8))
+    radius = 0.3
+    pts, dist = emap.traversable_points(radius)
+    assert len(pts) > 100
+    assert (dist > radius).all()
+    # Every returned point is >= radius from the sphere surface (allow
+    # the quasi-euclidean sweep's overestimate only, never closer).
+    center = np.array([0.0, 0.0, 1.0])
+    true_d = np.linalg.norm(pts - center, axis=1) - 0.8
+    assert (true_d > radius - 0.1 * np.sqrt(3) - 1e-5).all()
+    # Points just outside the surface are excluded.
+    d_all, _ = emap.get_distance_at_position(jnp.asarray(pts))
+    assert (np.asarray(d_all) > 0).all()
+
+    out_map = os.path.join(tmp_path, "with_esdf.vxblx")
+    layer_io.save_layer(layer, out_map)
+    layer_io.save_layer(el, out_map, append=True)
+    out_ply = os.path.join(tmp_path, "trav.ply")
+    assert cli.main(["traversable", out_map, out_ply,
+                     "--radius", str(radius)]) == 0
+    from voxblox_tpu.io import ply as ply_io
+    cloud = ply_io.read_ply(out_ply)
+    assert len(cloud["vertices"]) == len(pts)

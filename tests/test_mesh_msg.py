@@ -193,3 +193,41 @@ def test_mesh_msg_quantization_granularity():
         ref = ml_ref.blocks[blk.index].vertices
         worst = max(worst, float(np.abs(got - ref).max()))
     assert worst <= 0.5 * qstep + 1e-6
+
+
+def test_mesh_msg_overflow_rows_encode_dense():
+    """Rows whose march overflowed tri_cap must NOT ship their partial
+    pool content (a block msg REPLACES the block downstream); the wire
+    path encodes them through the dense fallback, matching the export
+    path's geometry exactly."""
+    layer = _sphere_layer()
+    cfg = MeshIntegratorConfig(device_tri_cap=16)  # force per-row overflow
+    pool = vmesh.make_mesh_pool(layer.max_blocks, cfg.device_tri_cap)
+    layer, pool = _drain(layer, pool, cfg)
+    assert bool(jnp.any(pool.overflow_rows & layer.active_mask()))
+
+    ml_ref = vmesh.pool_to_mesh_layer(
+        layer, pool, vmesh.MeshLayer(layer.block_size), cfg
+    )  # export path: dense fallback for overflow rows
+    msg, layer = wire.encode_mesh_msg(layer, pool)
+    ml = wire.apply_mesh_msg(vmesh.MeshLayer(layer.block_size), msg)
+
+    assert set(ml.blocks) == set(ml_ref.blocks)
+    qstep = 2.0 * layer.block_size / 65535.0
+    ovf_rows = np.asarray(pool.overflow_rows) & np.asarray(
+        layer.active_mask()
+    )
+    ijk = np.asarray(layer.block_ijk)
+    checked_ovf = 0
+    for key in ml_ref.blocks:
+        a, b = ml.blocks[key], ml_ref.blocks[key]
+        assert len(a.vertices) == len(b.vertices), key
+        np.testing.assert_allclose(
+            np.sort(a.vertices, axis=0), np.sort(b.vertices, axis=0),
+            atol=0.75 * qstep,
+        )
+        if any((ijk[r] == key).all() for r in np.nonzero(ovf_rows)[0]):
+            checked_ovf += 1
+            # Overflowed rows carry MORE triangles than the 16-cap.
+            assert len(a.vertices) > 16 * 3
+    assert checked_ovf > 0

@@ -128,7 +128,8 @@ class MeshIntegratorConfig:
     # scales with this budget, and typical scenes keep far fewer cubes
     # than the worst case; rows whose cubes spill past the budget are
     # flagged overflow and re-meshed through the dense fallback on
-    # export, so a tight budget can never corrupt the mesh.
+    # export AND on the wire path (io/mesh_msg encodes them dense-side),
+    # so a tight budget can never corrupt the mesh.
     march_cube_budget: "int | None" = None
 
 

@@ -5,10 +5,20 @@ This is the TPU-native replacement for the reference's
 (voxblox core/layer.h:23-296, core/block.h:22-215):
 
 - A layer owns a preallocated *pool* of ``max_blocks`` dense vps^3 blocks per
-  channel: ``channels[name]: f32[max_blocks, vps, vps, vps, *extra]``.
-  AXIS CONVENTION: the three cube axes are **[z, y, x]** — x is the
-  fastest-varying (last) axis, matching the reference's x-fastest linear
-  voxel order (block_inl.h:13-31) under C-order reshape.
+  channel, stored FLAT: ``channels[name]: f32[max_blocks, vps^3 * k]``
+  (k = prod of the channel's extra dims, e.g. 3 for color — interleaved
+  per voxel in row-major cube order). Flat storage is a TPU layout
+  decision: a [mb, 4096] array tiles its minor dim exactly, so pool-row
+  gathers/scatters are contiguous and never trigger the block-minor
+  relayout copies cube-shaped [mb, 16, 16, 16] channels force on every
+  consuming program (XLA stores those block-minor to dodge the 16 -> 128
+  lane pad; see docs/PLAN_FLAT_CHANNELS.md for the measured costs).
+  Consumers that need the cube view reshape INSIDE their programs via
+  ``cube(layer, name)`` — one-way reshapes of gathered row subsets are
+  small, and reshape -> op -> reshape-back round trips are elided by XLA.
+  AXIS CONVENTION for the cube view: the three cube axes are **[z, y, x]**
+  — x is the fastest-varying (last) axis, matching the reference's
+  x-fastest linear voxel order (block_inl.h:13-31) under C-order reshape.
 - A device hash table maps block index -> pool row (core/hash.py).
 - Block metadata lives in flat arrays indexed by pool row: the block index
   (reverse map), an active mask, and the reference's per-block dirty bits
@@ -137,7 +147,8 @@ def make_layer(
     channels = {}
     for name, extra in spec.items():
         dtype = CHANNEL_DTYPES.get(name, jnp.float32)
-        channels[name] = jnp.zeros((max_blocks, vps, vps, vps) + extra, dtype)
+        k = int(np.prod(extra)) if extra else 1
+        channels[name] = jnp.zeros((max_blocks, vps**3 * k), dtype)
     return VoxelLayer(
         table=vhash.make_table(table_capacity),
         block_ijk=jnp.zeros((max_blocks, 3), jnp.int32),
@@ -148,6 +159,37 @@ def make_layer(
         vps=int(vps),
         layer_type=layer_type,
     )
+
+
+# ---------------------------------------------------------------------------
+# Channel views
+# ---------------------------------------------------------------------------
+
+
+def channel_extra(layer: VoxelLayer, name: str) -> tuple:
+    """Trailing per-voxel dims of a channel: () for scalars, (3,) for
+    color/parent. Inferred from the flat width (vps^3 * k)."""
+    k = layer.channels[name].shape[1] // layer.voxels_per_block
+    return () if k == 1 else (k,)
+
+
+def cube(layer: VoxelLayer, name: str):
+    """Cube view [max_blocks, v, v, v, *extra] of a flat channel. Use
+    INSIDE a jitted program only (a stored cube materialization would
+    reintroduce the block-minor relayouts flat storage removes)."""
+    v = layer.vps
+    return layer.channels[name].reshape(
+        (layer.max_blocks, v, v, v) + channel_extra(layer, name)
+    )
+
+
+def cube_rows(layer: VoxelLayer, name: str, rows):
+    """Cube view of the SELECTED pool rows: gather flat rows (contiguous),
+    then reshape the small subset."""
+    v = layer.vps
+    sub = layer.channels[name][rows]
+    return sub.reshape(sub.shape[:-1] + (v, v, v)
+                       + channel_extra(layer, name))
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +362,7 @@ def get_voxels(layer: VoxelLayer, channel: str, global_ijk, fill=0.0):
     """Gather voxel values at global indices [...,3]; fill where missing."""
     flat, found = global_voxel_to_flat(layer, global_ijk)
     c = layer.channels[channel]
-    extra = c.shape[4:]
+    extra = channel_extra(layer, channel)
     flatc = c.reshape((-1,) + extra)
     vals = flatc.at[flat].get(mode="fill", fill_value=fill)
     if extra:
@@ -334,7 +376,7 @@ def set_voxels(layer: VoxelLayer, channel: str, global_ijk, values, valid=None):
     if valid is not None:
         found = found & valid
     c = layer.channels[channel]
-    extra = c.shape[4:]
+    extra = channel_extra(layer, channel)
     flatc = c.reshape((-1,) + extra)
     idx = jnp.where(found, flat, flatc.shape[0])
     flatc = flatc.at[idx].set(values, mode="drop")

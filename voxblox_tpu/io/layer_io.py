@@ -340,7 +340,8 @@ def _load_blocks(f, hdr, n_blocks, max_blocks, strategy, into):
         vals = unpack_voxels(hdr.type, words, vpb)
         for name, arr in vals.items():
             tgt = channels[name]
-            extra = tgt.shape[4:]
+            k = tgt.shape[1] // vpb
+            extra = () if k == 1 else (k,)
             if existing[i] >= 0 and strategy == MERGE:
                 merged = _merge_voxels(
                     hdr.type, name,

@@ -115,18 +115,28 @@ def encode_mesh_msg(layer: vlayer.VoxelLayer, pool: mesh_ops.MeshPool,
     if rows_mask is None:
         rows_mask = vlayer.dirty_mask(layer, vlayer.DIRTY_PUB)
     # ONE host sync fetches everything the host framing needs: the row
-    # set, per-row counts, and the quantized payload. total_cap must be
-    # static, so counts land first (sync #1), then the payload (sync #2).
-    mask_np, counts_np = jax.device_get((rows_mask, pool.counts))
-    rows = np.nonzero(mask_np)[0]
-    counts = np.where(mask_np, counts_np, 0)
+    # set, per-row counts, overflow flags and the quantized payload.
+    # total_cap must be static, so counts land first (sync #1), then the
+    # payload (sync #2).
+    mask_np, counts_np, ovf_np = jax.device_get(
+        (rows_mask, pool.counts, pool.overflow_rows)
+    )
+    # Overflowed rows hold PARTIAL pool content (tri_cap or cube-budget
+    # spill); shipping it as the block's authoritative replacement would
+    # permanently corrupt subscribers' copies (a block message REPLACES
+    # the block). Those rows encode through the dense march fallback
+    # below instead — same recovery as pool_to_mesh_layer.
+    ovf_np = ovf_np & mask_np
+    wire_np = mask_np & ~ovf_np
+    rows = np.nonzero(wire_np)[0]
+    counts = np.where(wire_np, counts_np, 0)
     total = int(counts.sum())
     blocks: List[MeshBlockMsg] = []
     block_ijk_np = None
     if total > 0:
         total_cap = 1 << max(8, int(total - 1).bit_length())
         q, rgb, row_of, _ = _encode_jit(
-            pool, layer.block_ijk, jnp.asarray(mask_np), total_cap,
+            pool, layer.block_ijk, jnp.asarray(wire_np), total_cap,
             layer.block_size,
         )
         q, rgb, block_ijk_np = jax.device_get((q, rgb, layer.block_ijk))
@@ -150,6 +160,37 @@ def encode_mesh_msg(layer: vlayer.VoxelLayer, pool: mesh_ops.MeshPool,
             blk.b = rgb[sl, 2].copy()
         blocks.append(blk)
         start += int(counts[row])
+
+    # Dense fallback for overflowed rows: re-march the full geometry and
+    # quantize host-side so subscribers never see a truncated block.
+    ovf_rows = np.nonzero(ovf_np)[0]
+    for s in range(0, len(ovf_rows), 64):
+        chunk = ovf_rows[s:s + 64].astype(np.int32)
+        pad = np.full(64, -1, np.int32)
+        pad[: len(chunk)] = chunk
+        tv, tm, tc = mesh_ops._march_rows(
+            layer, jnp.asarray(pad), 1e-6, use_color
+        )
+        tv, tm, tc = np.asarray(tv), np.asarray(tm), np.asarray(tc)
+        for bi, row in enumerate(chunk):
+            m = tm[bi]
+            verts = tv[bi][m].reshape(-1, 3)  # [nv, 3] world
+            idx = block_ijk_np[row].astype(np.float32)
+            n = 0.5 * (verts / float(layer.block_size) - idx[None, :])
+            qv = np.clip(np.round(n * 65535.0), 0.0, 65535.0).astype(
+                np.uint16
+            )
+            blk = MeshBlockMsg(
+                index=tuple(int(v) for v in block_ijk_np[row]),
+                x=qv[:, 0].copy(), y=qv[:, 1].copy(), z=qv[:, 2].copy(),
+            )
+            if use_color:
+                cols = np.clip(tc[bi][m].reshape(-1, 3), 0, 255).astype(
+                    np.uint8
+                )
+                blk.r, blk.g, blk.b = cols[:, 0], cols[:, 1], cols[:, 2]
+            blocks.append(blk)
+
     msg = MeshMsg(block_edge_length=float(layer.block_size), blocks=blocks,
                   has_color=use_color)
     if clear_pub_flag:

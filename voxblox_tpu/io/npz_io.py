@@ -53,7 +53,10 @@ def load_npz(path: str) -> vlayer.VoxelLayer:
         count=jnp.asarray(z["count"]),
     )
     channels = {
-        name: jnp.asarray(z[f"ch_{name}"]) for name in meta["channel_names"]
+        # reshape(mb, -1): archives written before the flat channel
+        # storage carry cube-shaped arrays; bytes are identical.
+        name: jnp.asarray(z[f"ch_{name}"]).reshape(z[f"ch_{name}"].shape[0], -1)
+        for name in meta["channel_names"]
     }
     return vlayer.VoxelLayer(
         table=table,

@@ -106,7 +106,8 @@ def probe_neighbor_rows(layer: vlayer.VoxelLayer, rows, row_ok):
 
 
 def build_padded(layer, values, nbr_slots, fill):
-    """values: [max_blocks, V,V,V] -> padded [max_blocks, V+2,V+2,V+2].
+    """values: [max_blocks, V,V,V] cube view -> padded
+    [max_blocks, V+2,V+2,V+2].
 
     The halo ring is gathered from the 26 neighbors through ``nbr_slots``;
     absent neighbors contribute ``fill``.
@@ -526,7 +527,7 @@ def lower_sweep(
 
     d_c = esdf_layer.channels["esdf"][safe]
     f_c = esdf_layer.channels["esdf_flags"][safe]
-    f_c = jnp.where(r_ok[:, None, None, None], f_c, np.uint8(0))
+    f_c = jnp.where(r_ok[:, None], f_c, np.uint8(0))
     region_c = region_rows[safe] & r_ok
 
     out_layer, iters = _sweep_on(
@@ -539,13 +540,17 @@ def lower_sweep(
 
 def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
               write_back_rows, parent8=None):
-    """Core relaxation loop over arrays d/flags [N, v, v, v] with neighbor
-    table nbr [N, 27] indexing the SAME arrays (-1 missing). If
+    """Core relaxation loop over FLAT arrays d/flags [N, vpb] with
+    neighbor table nbr [N, 27] indexing the SAME arrays (-1 missing). If
     write_back_rows is (rows, ok), results scatter back into the layer.
-    parent8: int8[N, v, v, v, 3] seed-offset vectors (full-euclidean)."""
+    parent8: int8[N, vpb*3] interleaved seed-offset vectors
+    (full-euclidean). Cube views are materialized only inside the sweep
+    (gathered-subset reshapes; the stored channels stay flat)."""
+    v = esdf_layer.vps
+    n_rows = d.shape[0]
     obs = (flags & OBS) != 0
     fixed = (flags & FIX) != 0
-    upd_mask = obs & ~fixed & region_rows[:, None, None, None]
+    upd_mask = obs & ~fixed & region_rows[:, None]
     obs_f = obs.astype(jnp.float32)
     full_euclid = cfg.full_euclidean_distance
 
@@ -557,11 +562,12 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
     # _padded reads vps + takes the row count from the value array.
 
     if full_euclid:
+        p8 = parent8.reshape(n_rows, -1, 3)
         p0 = _pack_parent(
-            parent8[..., 0].astype(jnp.int32),
-            parent8[..., 1].astype(jnp.int32),
-            parent8[..., 2].astype(jnp.int32),
-        )
+            p8[..., 0].astype(jnp.int32),
+            p8[..., 1].astype(jnp.int32),
+            p8[..., 2].astype(jnp.int32),
+        ).reshape(n_rows, v, v, v)
     else:
         p0 = jnp.zeros((1,), jnp.int32)  # placeholder carry
 
@@ -586,7 +592,6 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
         from .pallas import esdf_relax as _pk
 
         pallas_interpret = _jax.default_backend() != "tpu"
-        n_rows = d.shape[0]
         u2 = _pk.interior_to_2d(upd_mask.astype(jnp.float32))
         bt = u2.shape[0] // 18
         nbr_pad = jnp.concatenate(
@@ -630,7 +635,9 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
         d2f, _, iters = jax.lax.while_loop(
             outer_cond2, outer_body2, (d20, jnp.asarray(True), jnp.int32(0))
         )
-        d_out = _pk.from_2d(d2f, n_rows)[:, 1:-1, 1:-1, 1:-1]
+        d_out = _pk.from_2d(d2f, n_rows)[:, 1:-1, 1:-1, 1:-1].reshape(
+            n_rows, -1
+        )
         ch = dict(esdf_layer.channels)
         if write_back_rows is None:
             ch["esdf"] = d_out
@@ -644,8 +651,12 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
 
     # XLA fallback path: the observed halo does not change across outer
     # iterations — build it once, outside the while loop (only the
-    # distance halo must be re-exchanged per outer).
-    obs_pad = _padded(view, obs_f, nbr, jnp.float32(0.0)) > 0.5
+    # distance halo must be re-exchanged per outer). This path works on
+    # cube views (reshaped from the flat working set once, up front).
+    obs_c = obs_f.reshape(n_rows, v, v, v)
+    upd_mask = upd_mask.reshape(n_rows, v, v, v)
+    d = d.reshape(n_rows, v, v, v)
+    obs_pad = _padded(view, obs_c, nbr, jnp.float32(0.0)) > 0.5
 
     def outer_body(state):
         dd, pp, _, it = state
@@ -684,10 +695,13 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
     d_out, p_out, _, iters = jax.lax.while_loop(
         outer_cond, outer_body, (d, p0, jnp.asarray(True), jnp.int32(0))
     )
+    d_out = d_out.reshape(n_rows, -1)
     ch = dict(esdf_layer.channels)
     if full_euclid:
         px, py, pz = _unpack_parent(p_out)
-        par8 = jnp.stack([px, py, pz], -1).astype(jnp.int8)
+        par8 = jnp.stack([px, py, pz], -1).astype(jnp.int8).reshape(
+            n_rows, -1
+        )
     if write_back_rows is None:
         ch["esdf"] = d_out
         if full_euclid:
@@ -838,10 +852,11 @@ def stride_gate_stats(esdf_layer, cfg: EsdfIntegratorConfig):
         raise ValueError("stride gate requires vps=16 (Pallas layout)")
     radii = _pk.stride_radii(cfg.sweep_strides or ())
     active = esdf_layer.active_mask()
+    v = esdf_layer.vps
     flags = jnp.where(
-        active[:, None, None, None],
+        active[:, None],
         esdf_layer.channels["esdf_flags"], np.uint8(0),
-    )
+    ).reshape(esdf_layer.max_blocks, v, v, v)
     obs = (flags & OBS) != 0
     out = {
         "radii": tuple(radii),
@@ -854,7 +869,7 @@ def stride_gate_stats(esdf_layer, cfg: EsdfIntegratorConfig):
         return out
     nbr = neighbor_slot_table(esdf_layer)
     fixed = (flags & FIX) != 0
-    d = esdf_layer.channels["esdf"]
+    d = vlayer.cube(esdf_layer, "esdf")
     d20 = _pk.to_2d(_padded(esdf_layer, d, nbr, jnp.float32(0.0)))
     o2 = _pk.to_2d(
         _padded(esdf_layer, obs.astype(jnp.float32), nbr, jnp.float32(0.0))
@@ -954,9 +969,9 @@ def reset_region(esdf_layer, region_rows, cfg, keep_below=None):
     obs = (flags & OBS) != 0
     fixed = (flags & FIX) != 0
     d = esdf_layer.channels["esdf"]
-    m = obs & ~fixed & region_rows[:, None, None, None]
+    m = obs & ~fixed & region_rows[:, None]
     if keep_below is not None:
-        m = m & (jnp.abs(d) >= keep_below[:, None, None, None])
+        m = m & (jnp.abs(d) >= keep_below[:, None])
     sgn = jnp.where(d >= 0.0, 1.0, -1.0)
     d = jnp.where(m, sgn * cfg.default_distance_m, d)
     ch = dict(esdf_layer.channels)

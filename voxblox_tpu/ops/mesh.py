@@ -41,19 +41,24 @@ from .esdf import neighbor_slot_table
 def _padded_from_pool(values, nbr_sel, fill, v):
     """Halo-padded cubes for SELECTED rows, gathered from the full pool.
 
-    values: [mb, v, v, v] pool channel; nbr_sel: int32[B, 27] pool slots
-    of each selected row's 3x3x3 neighborhood (-1 missing; offset k =
-    ((dx+1)*3+(dy+1))*3+(dz+1), center k=13). Returns
-    [B, v+2, v+2, v+2]. Gathers are B-sized (27 small row-gathers), not
-    pool-sized."""
+    values: [mb, vpb] FLAT pool channel (row gathers from the flat layout
+    are contiguous; the gathered B-row subsets reshape to cubes here);
+    nbr_sel: int32[B, 27] pool slots of each selected row's 3x3x3
+    neighborhood (-1 missing; offset k = ((dx+1)*3+(dy+1))*3+(dz+1),
+    center k=13). Returns [B, v+2, v+2, v+2]. Gathers are B-sized
+    (27 small row-gathers), not pool-sized."""
     mb = values.shape[0]
     ext = jnp.concatenate(
-        [values, jnp.full((1, v, v, v), fill, values.dtype)], axis=0
+        [values, jnp.full((1, v**3), fill, values.dtype)], axis=0
     )
     safe = jnp.where(nbr_sel < 0, mb, nbr_sel)  # [B, 27]
     b = nbr_sel.shape[0]
+
+    def rows_at(k):
+        return ext[safe[:, k]].reshape(b, v, v, v)
+
     padded = jnp.full((b, v + 2, v + 2, v + 2), fill, values.dtype)
-    padded = padded.at[:, 1:-1, 1:-1, 1:-1].set(ext[safe[:, 13]])
+    padded = padded.at[:, 1:-1, 1:-1, 1:-1].set(rows_at(13))
 
     def src_slice(o):
         return slice(v - 1, v) if o == -1 else (
@@ -70,7 +75,7 @@ def _padded_from_pool(values, nbr_sel, fill, v):
                 if (dx, dy, dz) == (0, 0, 0):
                     k += 1
                     continue
-                rows_k = ext[safe[:, k]]
+                rows_k = rows_at(k)
                 padded = padded.at[
                     :, dst_slice(dz), dst_slice(dy), dst_slice(dx)
                 ].set(rows_k[:, src_slice(dz), src_slice(dy), src_slice(dx)])
@@ -218,7 +223,8 @@ def _march_core(layer: vlayer.VoxelLayer, rows, min_weight: float,
     if use_color:
         color_pad = jnp.stack(
             [
-                padded_sel(layer.channels["color"][..., c], jnp.float32(0.0))
+                padded_sel(layer.channels["color"][:, c::3],
+                           jnp.float32(0.0))
                 for c in range(3)
             ],
             axis=-1,
@@ -385,7 +391,8 @@ def make_mesh_pool(max_blocks: int, tri_cap: int = 512) -> MeshPool:
 def _plus_halo_sel(values, rows, row_ok, nbr8, fill, v):
     """Plus-side halo cubes for SELECTED rows.
 
-    values: [mb, v, v, v] pool channel; rows/row_ok: the selected pool
+    values: [mb, vpb] FLAT pool channel (contiguous row gathers; the
+    B-row subsets reshape to cubes here); rows/row_ok: the selected pool
     rows themselves (the center cube reads values[rows] DIRECTLY — the
     k=0 hash self-lookup in nbr8 would silently turn a row into fill on
     any hash miss, and costs an extra masked gather); nbr8: int32[B, 8]
@@ -401,12 +408,12 @@ def _plus_halo_sel(values, rows, row_ok, nbr8, fill, v):
 
     def rows_at(k):
         sel = nbr8[:, k]
-        r = values[jnp.clip(sel, 0, mb - 1)]
+        r = values[jnp.clip(sel, 0, mb - 1)].reshape(b, v, v, v)
         return jnp.where((sel >= 0)[:, None, None, None], r, fill)
 
     center = jnp.where(
         row_ok[:, None, None, None],
-        values[jnp.where(row_ok, rows, 0)], fill,
+        values[jnp.where(row_ok, rows, 0)].reshape(b, v, v, v), fill,
     )
     padded = jnp.full((b, v + 1, v + 1, v + 1), fill, values.dtype)
     padded = padded.at[:, :v, :v, :v].set(center)
@@ -603,12 +610,12 @@ def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
         # relayouts: ~15 ms/update) and resolved vertex colors with a
         # 491k-index argmin gather over a [T,5,3,8] distance cube.
         rows512 = jnp.clip(nbr8.reshape(-1), 0, mb - 1)
-        col512 = layer.channels["color"][rows512]  # [B*8, v,v,v, 3]
+        col512 = layer.channels["color"][rows512]  # [B*8, vpb*3] flat
         cu512 = jnp.clip(col512, 0, 255).astype(jnp.uint32)
-        word512 = (cu512[..., 0] | (cu512[..., 1] << 8)
-                   | (cu512[..., 2] << 16))
+        word512 = (cu512[:, 0::3] | (cu512[:, 1::3] << 8)
+                   | (cu512[:, 2::3] << 16))  # [B*8, vpb]
         word512 = jnp.where(
-            (nbr8.reshape(-1) >= 0)[:, None, None, None], word512, 0
+            (nbr8.reshape(-1) >= 0)[:, None], word512, 0
         ).reshape(b, 8, v, v, v)
         word_pad = jnp.zeros((b, vp, vp, vp), jnp.uint32)
         full, one, first = slice(0, v), slice(v, vp), slice(0, 1)
@@ -666,6 +673,19 @@ def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
         packed.reshape(-1, 12), mode="drop", unique_indices=True
     )
     content = content.reshape(b, cap * 12)
+
+    # Counts must never claim slots the compaction did not scatter: a
+    # cube-budget spill drops trailing cubes of the boundary row and all
+    # cubes of later rows, while the dense-phase count still covers them.
+    # The budget keeps surviving cubes in block-major order, so each
+    # row's scattered triangles are a prefix of its slots — clamping
+    # counts to the per-row scattered total keeps counts consistent with
+    # content (spilled rows are already ovf-flagged and re-mesh through
+    # the dense fallback). Without the budget, scattered == counts.
+    scattered = jnp.zeros((b,), jnp.int32).at[jnp.where(ok, cb, b)].add(
+        jnp.sum(keep_tri, axis=1).astype(jnp.int32), mode="drop"
+    )
+    counts = jnp.minimum(counts, scattered)
 
     wr = jnp.where(row_ok, rows, pool.max_blocks)
     tris = pool.tris.at[wr].set(content, mode="drop", unique_indices=True)

@@ -169,5 +169,5 @@ def esdf_from_occupancy_batch(
 
 
 def occupancy_probability(layer: vlayer.VoxelLayer):
-    """Per-voxel occupancy probability [max_blocks, v,v,v]."""
+    """Per-voxel occupancy probability [max_blocks, vpb] (flat order)."""
     return grid.probability_from_log_odds(layer.channels["log_odds"])

@@ -135,7 +135,7 @@ def render_depth(
     surface_block = jnp.any(
         (layer.channels["weight"] > 1e-6)
         & (jnp.abs(layer.channels["tsdf"]) < 2.0 * vs),
-        axis=(1, 2, 3),
+        axis=1,
     ) & active
     big = jnp.int32(1 << 20)
     origin_blk = jnp.min(

@@ -57,11 +57,14 @@ def merge_layers(target: vlayer.VoxelLayer, source: vlayer.VoxelLayer):
             ch["tsdf"].at[safe_t].get(mode="fill", fill_value=0.0) * tw
             + source.channels["tsdf"] * sw_
         ) / tot
+        # Color is interleaved [mb, vpb*3]: lane-repeat the per-voxel
+        # weights to line up with the rgb triplets.
+        tw3 = jnp.repeat(tw, 3, axis=-1)
+        sw3 = jnp.repeat(sw_, 3, axis=-1)
         new_c = (
-            ch["color"].at[safe_t].get(mode="fill", fill_value=0.0)
-            * tw[..., None]
-            + source.channels["color"] * sw_[..., None]
-        ) / tot[..., None]
+            ch["color"].at[safe_t].get(mode="fill", fill_value=0.0) * tw3
+            + source.channels["color"] * sw3
+        ) / jnp.repeat(tot, 3, axis=-1)
         ch["tsdf"] = scatter_rows(ch["tsdf"], safe_t, new_d)
         ch["color"] = scatter_rows(ch["color"], safe_t, new_c)
         ch["weight"] = scatter_rows(ch["weight"], safe_t, tw + sw_)
@@ -290,9 +293,8 @@ def naive_transform_layer(
 
     ch = dict(out.channels)
     for name, arr in source.channels.items():
-        src = arr[rows_j]  # [B, vpb-cube(+extra)]
-        extra = arr.shape[4:]
-        src = src.reshape((len(rows) * vpb,) + extra)
+        extra = vlayer.channel_extra(source, name)
+        src = arr[rows_j].reshape((len(rows) * vpb,) + extra)
         tgt = ch[name].reshape((out.max_blocks * vpb,) + extra)
         ch[name] = tgt.at[flat].set(src, mode="drop").reshape(
             ch[name].shape

@@ -170,7 +170,7 @@ def _apply_accumulated(layer, d_w, d_wd, d_wc, d_wcw, trunc, max_weight):
     channels = dict(layer.channels)
     channels["tsdf"] = tsdf.reshape(shape)
     channels["weight"] = weight.reshape(shape)
-    channels["color"] = color.reshape(shape + (3,))
+    channels["color"] = color.reshape(layer.channels["color"].shape)
     return dataclasses.replace(layer, channels=channels)
 
 

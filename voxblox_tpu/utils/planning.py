@@ -47,18 +47,17 @@ def _allocate_sphere(layer, center, radius):
 
 
 def sphere_voxel_mask(layer, center, radius):
-    """bool[max_blocks, v, v, v] of voxels whose center is in the sphere."""
+    """bool[max_blocks, vpb] (flat voxel order) of voxels whose center is
+    in the sphere."""
     v = layer.vps
-    zz, yy, xx = jnp.meshgrid(
-        jnp.arange(v), jnp.arange(v), jnp.arange(v), indexing="ij"
-    )
-    local = jnp.stack([xx, yy, zz], -1)  # [...,3] in (x,y,z)
+    lin = jnp.arange(layer.voxels_per_block)
+    local = grid.linear_to_local(lin, v)  # [vpb, 3] in (x, y, z)
     centers = (
-        layer.block_ijk[:, None, None, None, :] * v + local[None]
+        layer.block_ijk[:, None, :] * v + local[None]
     ).astype(jnp.float32)
     centers = (centers + 0.5) * layer.voxel_size
     dist = jnp.linalg.norm(centers - jnp.asarray(center, jnp.float32), axis=-1)
-    return (dist <= radius) & layer.active_mask()[:, None, None, None]
+    return (dist <= radius) & layer.active_mask()[:, None]
 
 
 def fill_sphere(layer, center, radius, max_distance_m):
@@ -73,7 +72,7 @@ def fill_sphere(layer, center, radius, max_distance_m):
     ).astype(jnp.uint8)
     layer = dataclasses.replace(layer, channels=ch)
     rows = jnp.arange(layer.max_blocks)
-    touched = jnp.any(m, axis=(1, 2, 3))
+    touched = jnp.any(m, axis=1)
     return vlayer.mark_dirty(layer, rows, touched, vlayer.DIRTY_ALL), overflow
 
 
@@ -88,7 +87,7 @@ def clear_sphere(layer, center, radius, max_distance_m):
     )
     layer = dataclasses.replace(layer, channels=ch)
     rows = jnp.arange(layer.max_blocks)
-    touched = jnp.any(m, axis=(1, 2, 3))
+    touched = jnp.any(m, axis=1)
     return vlayer.mark_dirty(layer, rows, touched, vlayer.DIRTY_ALL), overflow
 
 
@@ -122,7 +121,7 @@ def add_new_robot_position(
     ch["esdf_flags"] = new_flags
     layer = dataclasses.replace(layer, channels=ch)
     rows = jnp.arange(layer.max_blocks)
-    touched = jnp.any(clearable | occupiable, axis=(1, 2, 3))
+    touched = jnp.any(clearable | occupiable, axis=1)
     return vlayer.mark_dirty(layer, rows, touched, vlayer.DIRTY_ALL), ovf1
 
 
