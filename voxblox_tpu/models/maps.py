@@ -141,6 +141,30 @@ class EsdfMap:
         f, found = vlayer.get_voxels(self.layer, "esdf_flags", gvi, fill=0)
         return found & ((f.astype(jnp.uint8) & vlayer.ESDF_OBSERVED) != 0)
 
+    def traversable_points(self, traversability_radius: float):
+        """World positions of observed ESDF voxels whose distance exceeds
+        the robot radius — the EsdfServer traversable cloud
+        (voxblox_ros/src/esdf_server.cc:136-142). Host-side extraction
+        (an export/publish path, not a latency path). Returns numpy
+        (points f32[N,3], distances f32[N])."""
+        import numpy as np
+
+        layer = self.layer
+        flags = np.asarray(layer.channels["esdf_flags"])
+        d = np.asarray(layer.channels["esdf"])
+        active = np.asarray(layer.active_mask())
+        obs = ((flags & vlayer.ESDF_OBSERVED) != 0) & active[:, None]
+        m = obs & (d > traversability_radius)
+        rows, vox = np.nonzero(m)
+        local = np.asarray(
+            grid.linear_to_local(
+                jnp.arange(layer.voxels_per_block), layer.vps
+            )
+        )
+        gvi = np.asarray(layer.block_ijk)[rows] * layer.vps + local[vox]
+        pts = ((gvi + 0.5) * layer.voxel_size).astype(np.float32)
+        return pts, d[rows, vox]
+
     def coord_plane_slice(self, free_plane_index: int, height: float,
                           extent: float = 10.0, step: float | None = None):
         """coordPlaneSliceGetDistance (esdf_map.cc:112-196)."""

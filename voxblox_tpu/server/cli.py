@@ -202,6 +202,27 @@ def cmd_replay(args):
     return 0
 
 
+def cmd_traversable(args):
+    """EsdfServer traversable cloud (esdf_server.cc:136-142): export the
+    observed ESDF voxels with distance > robot radius as a colored PLY
+    point cloud (distance rainbow)."""
+    from ..core.config import MapConfig
+    from ..io import layer_io, ply
+    from ..models.maps import EsdfMap
+    from ..utils.color_maps import rainbow_color_map
+
+    layer = layer_io.load_layer(args.map, "esdf", max_blocks=args.max_blocks)
+    emap = EsdfMap(layer, MapConfig(voxel_size=layer.voxel_size,
+                                    voxels_per_side=layer.vps))
+    pts, dist = emap.traversable_points(args.radius)
+    span = max(float(np.abs(dist).max()), 1e-6) if len(dist) else 1.0
+    colors = rainbow_color_map(0.5 + 0.5 * dist / span)
+    ply.write_mesh_ply(args.output, pts, colors=np.asarray(colors))
+    print(f"{len(pts)} traversable points (radius {args.radius}) "
+          f"-> {args.output}")
+    return 0
+
+
 def cmd_info(args):
     from ..io import layer_io
 
@@ -291,6 +312,18 @@ def main(argv=None):
     rp.add_argument("--output-map", default=None)
     rp.add_argument("--output-mesh", default=None)
     rp.set_defaults(fn=cmd_replay)
+
+    tr = sub.add_parser(
+        "traversable",
+        help="export the ESDF traversable cloud (distance > robot radius)",
+    )
+    tr.add_argument("map")
+    tr.add_argument("output")
+    tr.add_argument("--radius", type=float, default=0.3,
+                    help="robot/traversability radius in meters "
+                         "(esdf_server.cc:136-142)")
+    tr.add_argument("--max-blocks", type=int, default=8192)
+    tr.set_defaults(fn=cmd_traversable)
 
     inf = sub.add_parser("info", help="print layer headers of a map file")
     inf.add_argument("map")
