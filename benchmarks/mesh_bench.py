@@ -100,7 +100,7 @@ full_ms = march_ms + (time.perf_counter() - t0) * 1e3
 times = []
 for i in range(4):
     R, pos, p, c = scan_at(i + 1, n=12)
-    layer, _ = projective.integrate_organized_projective(
+    layer, _, _ = projective.integrate_organized_projective(
         layer, (R, pos), p, c, cfg, intrinsics=intr, pool=2,
         max_visible_blocks=256,
     )

@@ -54,7 +54,7 @@ def test_projective_accuracy_vs_gt():
     layer = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
     for pose in _poses():
         pts_C, colors = _scan(objs, pose)
-        layer, overflow = projective.integrate_pointcloud_projective(
+        layer, overflow, _ = projective.integrate_pointcloud_projective(
             layer, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=FOV
         )
         assert not bool(overflow)
@@ -79,7 +79,7 @@ def test_projective_vs_simple_consistency():
     simp = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
     for pose in _poses(4):
         pts_C, colors = _scan(objs, pose)
-        proj, _ = projective.integrate_pointcloud_projective(
+        proj, _, _ = projective.integrate_pointcloud_projective(
             proj, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=FOV
         )
         simp, _, _ = tsdf.integrate_pointcloud(
@@ -124,7 +124,7 @@ def test_wide_fov_peripheral_blocks_not_culled():
             objs, pose, RES, fov, max_dist=10.0
         )
         pts_C = sw.world_points_to_sensor(pose, pts_G, valid)
-        proj, _ = projective.integrate_pointcloud_projective(
+        proj, _, _ = projective.integrate_pointcloud_projective(
             proj, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=fov
         )
         simp, _, _ = tsdf.integrate_pointcloud(
@@ -180,11 +180,11 @@ def test_organized_matches_unstructured():
             objs, (R, t), res, FOV, max_dist=10.0
         )
         assert np.allclose(intr2, intr)
-        org, ovf = projective.integrate_organized_projective(
+        org, ovf, b_ovf = projective.integrate_organized_projective(
             org, (R, t), pts_C, colors, cfg, intrinsics=intr, pool=2
         )
         assert not bool(ovf)
-        uns, _ = projective.integrate_pointcloud_projective(
+        uns, _, _ = projective.integrate_pointcloud_projective(
             uns, (R, t), pts_C.reshape(-1, 3), colors.reshape(-1, 3), cfg,
             resolution=(res[0] // 2, res[1] // 2), fov_h_rad=FOV,
         )
@@ -222,7 +222,7 @@ def test_batch_matches_sequential():
     scans = [_scan(objs, p) for p in poses]
     seq = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
     for pose, (pts_C, colors) in zip(poses, scans):
-        seq, _ = projective.integrate_pointcloud_projective(
+        seq, _, _ = projective.integrate_pointcloud_projective(
             seq, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=FOV
         )
     Rs = jnp.stack([p[0] for p in poses])
@@ -254,17 +254,17 @@ def test_free_slab_budget_overflow_and_equivalence():
     pts_C, colors = _scan(objs, pose)
 
     ref = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
-    ref, ovf_ref = projective.integrate_pointcloud_projective(
+    ref, ovf_ref, b_ref = projective.integrate_pointcloud_projective(
         ref, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=FOV
     )
-    assert not bool(ovf_ref)
+    assert not bool(ovf_ref) and not bool(b_ref)
 
     gen = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
-    gen, ovf_gen = projective.integrate_pointcloud_projective(
+    gen, ovf_gen, b_gen = projective.integrate_pointcloud_projective(
         gen, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=FOV,
         max_free_slabs=4096,
     )
-    assert not bool(ovf_gen)
+    assert not bool(ovf_gen) and not bool(b_gen)
     slot_r = vlayer.lookup_blocks(ref, gen.block_ijk)
     act = np.asarray(gen.active_mask())
     for i, (sr, a) in enumerate(zip(np.asarray(slot_r), act)):
@@ -279,11 +279,14 @@ def test_free_slab_budget_overflow_and_equivalence():
     # the free budget flags identically but this small scene may have no
     # FREE slabs at all, so the mixed budget is the deterministic probe.
     tiny = vlayer.make_layer("tsdf", VOXEL, vps=16, max_blocks=2048)
-    tiny, ovf_tiny = projective.integrate_pointcloud_projective(
+    tiny, pool_tiny, ovf_tiny = projective.integrate_pointcloud_projective(
         tiny, pose, pts_C, colors, cfg, resolution=RES, fov_h_rad=FOV,
         max_mixed_slabs=1,
     )
-    assert bool(ovf_tiny)
+    assert bool(ovf_tiny) and not bool(pool_tiny)
+    # Transactional overflow: the overflowed scan applied NOTHING (so a
+    # grow-and-retry re-dispatch cannot double count).
+    assert float(jnp.sum(tiny.channels["weight"])) == 0.0
 
 
 def test_hiz_query_conservative_vs_bruteforce():
@@ -371,7 +374,7 @@ def test_spherical_lidar_pipeline_accuracy():
             objs, (jnp.eye(3), pos), reso, fov_up_deg=5.0,
             fov_down_deg=-30.0, max_dist=15.0,
         )
-        layer, ovf = projective.integrate_pointcloud_projective(
+        layer, ovf, _ = projective.integrate_pointcloud_projective(
             layer, (jnp.eye(3), pos), pts_C, cols, cfgl,
             resolution=reso, kind="spherical",
         )

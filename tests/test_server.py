@@ -430,3 +430,77 @@ def test_fused_scan_matches_two_dispatch():
     assert det.num_evaluated_voxels > 1000
     assert det.rmse < 1e-5, str(det)
     assert srv_b.num_scans == 2
+
+
+def test_projective_budget_grow_and_retry():
+    """A scene that overflows the configured projective budgets must
+    converge to the SAME map as a generous-budget run — overflowed scans
+    are withheld (transactional) and replayed at grown budget rungs by
+    check_overflow; no dropped and no double-counted updates (reference
+    analogue: dynamic allocation never drops points,
+    tsdf_integrator.cc:91-147)."""
+    from voxblox_tpu.utils import evaluation
+
+    w = _world()
+    objs = w.freeze()
+
+    def scans(n=4):
+        out = []
+        for i in range(n):
+            a = 2 * np.pi * i / n
+            pos = jnp.asarray([4 * np.cos(a), 4 * np.sin(a), 2.0],
+                              jnp.float32)
+            view = jnp.asarray([-np.cos(a), -np.sin(a), 0.0], jnp.float32)
+            R = sw.rotation_from_two_vectors(
+                jnp.asarray([0.0, 0.0, 1.0]), view
+            )
+            pts_G, colors, valid = sw.pointcloud_from_viewpoint(
+                objs, pos, view, (64, 48), np.deg2rad(60.0), 10.0
+            )
+            pts_C = sw.world_points_to_sensor((R, pos), pts_G, valid)
+            out.append(((R, pos), pts_C, colors))
+        return out
+
+    from voxblox_tpu.server import TsdfServer
+
+    def make(mixed, interval):
+        return TsdfServer(
+            map_config=MapConfig(voxel_size=0.2, max_blocks=1024),
+            integrator_config=TsdfIntegratorConfig(
+                default_truncation_distance=0.8, max_ray_length_m=10.0
+            ),
+            method="projective",
+            projective_resolution=(64, 48),
+            projective_fov_deg=60.0,
+            projective_max_mixed_slabs=mixed,
+            overflow_check_interval=interval,
+        )
+
+    data = scans()
+    ref = make(mixed=None, interval=1)  # generous: never overflows
+    tiny_sync = make(mixed=8, interval=1)  # sync grow-and-retry
+    tiny_def = make(mixed=8, interval=8)  # deferred grow-and-retry
+    for T, pts, cols in data:
+        ref.insert_pointcloud(T, pts, cols)
+        tiny_sync.insert_pointcloud(T, pts, cols)
+        tiny_def.insert_pointcloud(T, pts, cols)
+    ref.check_overflow()
+    tiny_sync.check_overflow()
+    tiny_def.check_overflow()
+    # The tiny budgets must actually have grown (the scene overflows 8).
+    assert tiny_sync.projective_budgets["max_mixed_slabs"] != 8
+    assert tiny_def.projective_budgets["max_mixed_slabs"] != 8
+    for srv in (tiny_sync, tiny_def):
+        det = evaluation.evaluate_layers_rmse(ref.layer, srv.layer)
+        assert det.num_evaluated_voxels > 1000
+        assert det.num_non_overlapping_voxels == 0, str(det)
+        assert det.rmse < 1e-6, str(det)
+        act = np.asarray(srv.layer.active_mask())
+        slot_r = np.asarray(
+            vlayer.lookup_blocks(ref.layer, srv.layer.block_ijk)
+        )
+        ok_rows = act & (slot_r >= 0)
+        assert ok_rows.sum() > 4
+        w_s = np.asarray(srv.layer.channels["weight"])[ok_rows]
+        w_r = np.asarray(ref.layer.channels["weight"])[slot_r[ok_rows]]
+        assert np.abs(w_s - w_r).max() < 1e-4

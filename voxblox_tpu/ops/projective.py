@@ -774,7 +774,11 @@ def _feat_image(img: RangeImage, trunc, carving: bool = True):
 def _discover_and_allocate(layer, img, R, t, cfg, hiz,
                            max_visible_blocks: int, allocate: bool):
     """Candidate-block discovery, compaction and (optional) allocation
-    for one scan. Returns (layer, cand, c_ok, overflowed).
+    for one scan. Returns (layer, cand, c_ok, pool_ovf, budget_ovf):
+    ``pool_ovf`` = the block pool itself is exhausted (only a bigger
+    ``max_blocks`` fixes it), ``budget_ovf`` = a static compaction
+    budget was too small (fixable by re-dispatching at a bigger budget
+    rung — the server's grow-and-retry path).
 
     Compacts the (frustum+HiZ-culled) candidates before touching the
     hash table: the local grid is ~15^3 blocks but only the visible ~1/6
@@ -789,11 +793,11 @@ def _discover_and_allocate(layer, img, R, t, cfg, hiz,
     cidx = jnp.nonzero(ok, size=max_cand, fill_value=n_cand)[0]
     c_ok = cidx < n_cand
     cand = cand[jnp.where(c_ok, cidx, 0)]
-    overflowed = jnp.sum(ok) > max_cand
+    budget_ovf = jnp.sum(ok) > max_cand
+    pool_ovf = jnp.asarray(False)
     if allocate:
-        layer, alloc_ovf = vlayer.allocate_blocks(layer, cand, c_ok)
-        overflowed |= alloc_ovf
-    return layer, cand, c_ok, overflowed
+        layer, pool_ovf = vlayer.allocate_blocks(layer, cand, c_ok)
+    return layer, cand, c_ok, pool_ovf, budget_ovf
 
 
 def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
@@ -802,7 +806,7 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
                 allocate: bool = True, acc=None):
     """Allocate + classify + compute one scan's weighted-update deltas.
 
-    Returns (layer, rows, row_ok, d6, overflowed): d6 is the
+    Returns (layer, rows, row_ok, d6, (pool_ovf, budget_ovf)): d6 is the
     lane-concatenated delta buffer [B, n_slabs, n_ch*slab_vox] over the
     compacted visible rows, whose per-channel planes (_delta_plane) are
       0: sum of update weights            1: sum of weight * sdf
@@ -830,16 +834,21 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     """
     if hiz is None:
         hiz = _hiz_tables(_pix_eff(img, cfg))
-    layer, cand, c_ok, overflowed = _discover_and_allocate(
+    layer, cand, c_ok, pool_ovf, budget_ovf = _discover_and_allocate(
         layer, img, R, t, cfg, hiz, max_visible_blocks, allocate
     )
 
     slots = vlayer.lookup_blocks(layer, cand)
     sel = jnp.where(c_ok, slots, -1)
+    vis_mask = jnp.zeros((layer.max_blocks,), bool).at[
+        jnp.where(sel >= 0, sel, 0)
+    ].set(sel >= 0)
+    # Distinct visible rows can exceed the row budget even when the
+    # (2x-sized) candidate set did not overflow — flag it, or rows
+    # beyond the budget would be dropped silently.
+    budget_ovf |= jnp.sum(vis_mask) > max_visible_blocks
     rows = jnp.nonzero(
-        jnp.zeros((layer.max_blocks,), bool).at[
-            jnp.where(sel >= 0, sel, 0)
-        ].set(sel >= 0),
+        vis_mask,
         size=max_visible_blocks,
         fill_value=-1,
     )[0]
@@ -931,7 +940,7 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
         free_ids = jnp.nonzero(free_flat, size=max_free_slabs,
                                fill_value=n_all)[0]
         free_ok = free_ids < n_all
-        overflowed |= jnp.sum(free_flat) > max_free_slabs
+        budget_ovf |= jnp.sum(free_flat) > max_free_slabs
         _, _, _, _, _, _, inb_f = slab_voxel_proj(free_ids, free_ok)
         if cfg.use_const_weight:
             wf = jnp.where(inb_f, 1.0, 0.0)
@@ -956,7 +965,7 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
         mixed_flat, size=max_mixed_slabs, fill_value=n_all
     )[0]
     slab_valid = slab_ids < n_all
-    overflowed |= jnp.sum(mixed_flat) > max_mixed_slabs
+    budget_ovf |= jnp.sum(mixed_flat) > max_mixed_slabs
 
     p_C_m, u_m, v_m, r_m, ui_m, vi_m, inb_m = slab_voxel_proj(
         slab_ids, slab_valid
@@ -1050,11 +1059,11 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     # per-channel [.., vpb] planes. With ``acc`` the updated accumulator
     # (pool-slab domain) is returned instead.
     if acc is not None:
-        return layer, rows, row_ok, d6, overflowed
+        return layer, rows, row_ok, d6, (pool_ovf, budget_ovf)
     return (
         layer, rows, row_ok,
         d6.reshape(B, n_slabs, n_ch * slab_vox),
-        overflowed,
+        (pool_ovf, budget_ovf),
     )
 
 
@@ -1071,10 +1080,17 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
                          max_mixed_slabs: int,
                          max_free_slabs: int | None = None):
     img = RangeImage(rng=rng_img, color=color_img, params=params, kind=kind)
-    (layer, rows, row_ok, d6, overflowed) = _scan_terms(
+    (layer, rows, row_ok, d6, (pool_ovf, budget_ovf)) = _scan_terms(
         layer, R, t, img, cfg, use_color, max_visible_blocks,
         max_mixed_slabs, max_free_slabs=max_free_slabs,
     )
+    # TRANSACTIONAL apply: on ANY overflow this scan's value updates are
+    # withheld entirely (allocation alone is harmless and idempotent) so
+    # the server can re-dispatch the SAME scan at a grown budget rung
+    # with no double counting — the grow-and-retry analogue of the
+    # reference's dynamic allocation never dropping points
+    # (tsdf_integrator.cc:91-147).
+    apply_ok = ~(pool_ovf | budget_ovf)
     trunc = cfg.default_truncation_distance
     safe_rows = jnp.where(row_ok, rows, 0)
     mb = layer.max_blocks
@@ -1095,7 +1111,7 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
         (old_d * old_w + d_wd) / jnp.maximum(new_w_raw, grid.FLOAT_EPS),
         -trunc, trunc,
     )
-    touched = d_w > 0.0
+    touched = (d_w > 0.0) & apply_ok
     out_d = jnp.where(touched, new_d, old_d)
     out_w = jnp.where(touched, jnp.minimum(new_w_raw, cfg.max_weight), old_w)
 
@@ -1111,7 +1127,7 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
         old_cf = layer.channels["color"].reshape(mb, vpb * 3)[safe_rows]
         d_cw = _delta_plane(d6, 2, slab_vox).reshape(B, vpb)
         denom_c = jnp.maximum(old_w + d_cw, grid.FLOAT_EPS)
-        ctouched = d_cw > 0
+        ctouched = (d_cw > 0) & apply_ok
         out_c = old_cf
         for c in range(3):
             oc = old_cf[:, c::3]
@@ -1127,7 +1143,7 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
     flags = layer.block_flags.at[
         jnp.where(row_ok & row_touched, rows, mb)
     ].set(vlayer.ACTIVE | vlayer.DIRTY_ALL, mode="drop")
-    return dataclasses.replace(layer, block_flags=flags), overflowed
+    return dataclasses.replace(layer, block_flags=flags), pool_ovf, budget_ovf
 
 
 def integrate_range_image(layer, T_G_C, img: RangeImage,
@@ -1135,7 +1151,12 @@ def integrate_range_image(layer, T_G_C, img: RangeImage,
                           max_visible_blocks: int = 512,
                           max_mixed_slabs: int | None = None,
                           max_free_slabs: int | None = None):
-    """Integrate a pre-binned range image. Returns (layer, overflowed)."""
+    """Integrate a pre-binned range image.
+
+    Returns (layer, pool_ovf, budget_ovf). On ANY overflow the scan's
+    value updates were WITHHELD (allocation still happened — idempotent);
+    re-dispatch the same scan with grown budgets (budget_ovf) or a
+    bigger pool (pool_ovf)."""
     R, t = T_G_C if isinstance(T_G_C, tuple) else (T_G_C[:3, :3], T_G_C[:3, 3])
     return _integrate_image_jit(
         layer, R, t, img.rng, img.color, img.params, cfg, use_color,
@@ -1167,6 +1188,9 @@ def integrate_pointcloud_projective(
     ~100 ms of per-op dispatch through the remote-TPU path).
     ``kind``: "pinhole", "spherical" (unordered cloud, scatter binning)
     or "spherical_organized" (raster-ordered lidar scan, scatter-free).
+    Returns (layer, pool_ovf, budget_ovf); on ANY overflow the scan's
+    value updates were withheld (see integrate_range_image) so the
+    caller can grow-and-retry without double counting.
     """
     if kind == "pinhole":
         img = build_pinhole_range_image(points_C, colors, resolution,
@@ -1201,7 +1225,9 @@ def integrate_organized_projective(
 ):
     """Organized-cloud front end (points_C f32[H,W,3] raster-ordered):
     min-pool binning (no scatters) + integrate. ``intrinsics`` is the
-    static (fx, fy, cx, cy) of the source raster."""
+    static (fx, fy, cx, cy) of the source raster. Returns
+    (layer, pool_ovf, budget_ovf) with transactional overflow semantics
+    (see integrate_range_image)."""
     img = build_pinhole_range_image_organized(points_C, colors, pool,
                                               intrinsics)
     R, t = T_G_C if isinstance(T_G_C, tuple) else (T_G_C[:3, :3], T_G_C[:3, 3])
@@ -1363,12 +1389,13 @@ def _integrate_batch(layer, Rs, ts, points_C, colors, cfg, use_color,
         R, t, rng_i, col_i, par_i, feat_i, hflat_i = scan
         img = RangeImage(rng=rng_i, color=col_i, params=par_i, kind=kind)
         hiz = (hflat_i, hiz_meta, hiz_max_lvls)
-        geom, rows, row_ok, d_or_acc, o = _scan_terms(
+        geom, rows, row_ok, d_or_acc, (p_o, b_o) = _scan_terms(
             geom, R, t, img, cfg, use_color, max_visible_blocks,
             max_mixed_slabs, feat=feat_i, hiz=hiz,
             max_free_slabs=max_free_slabs,
             acc=acc if direct_acc else None,
         )
+        o = p_o | b_o
         if direct_acc:
             acc = d_or_acc
         else:

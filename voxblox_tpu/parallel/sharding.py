@@ -254,10 +254,10 @@ def integrate_projective_batch_sharded(
         hiz = (hflat_i, hiz_meta, hiz_max_lvls)
         # The shared helper guarantees the allocation sequence replayed
         # here is bit-identical to the unsharded batch's.
-        g, _, _, ovf = proj._discover_and_allocate(
+        g, _, _, p_ovf, b_ovf = proj._discover_and_allocate(
             g, img, R, t, cfg, hiz, max_visible_blocks, allocate=True
         )
-        return g, ovf
+        return g, p_ovf | b_ovf
 
     geom, ovfs = jax.lax.scan(
         alloc_body, geom, (Rs, ts, rngs, colors_i, params_i, hiz_flats)
@@ -283,12 +283,13 @@ def integrate_projective_batch_sharded(
             img = proj.RangeImage(rng=rng_i, color=col_i, params=par_i,
                                   kind=img_kind)
             hiz = (hflat_i, hiz_meta, hiz_max_lvls)
-            _, rows, row_ok, d_or_acc, o = proj._scan_terms(
+            _, rows, row_ok, d_or_acc, (p_o, b_o) = proj._scan_terms(
                 geom, R, t, img, cfg, use_color, max_visible_blocks,
                 max_mixed_slabs, feat=feat_i, hiz=hiz,
                 max_free_slabs=max_free_slabs, allocate=False,
                 acc=acc if direct_acc else None,
             )
+            o = p_o | b_o
             if direct_acc:
                 acc = d_or_acc
             else:

@@ -119,6 +119,15 @@ class TsdfServer:
         self.icp_corrected = (jnp.eye(3), jnp.zeros(3))
         self.overflow_check_interval = max(1, int(overflow_check_interval))
         self._overflow_acc = None  # device-side accumulated overflow flag
+        # Projective grow-and-retry state: overflow is TRANSACTIONAL (an
+        # overflowed scan applies NOTHING — ops/projective withholds the
+        # value fold), so scans since the last check are kept with their
+        # device-side budget-overflow flag and the flagged ones are
+        # replayed at grown budget rungs by check_overflow. The analogue
+        # of the reference's never-drop dynamic allocation
+        # (tsdf_integrator.cc:91-147). Entries drain at every check, so
+        # overflow_check_interval bounds the buffer.
+        self._pending_scans: list = []
 
     # -- input path (processPointCloudMessageAndInsert, :213-323) ----------
     def _pad(self, points, colors):
@@ -159,7 +168,7 @@ class TsdfServer:
             if self.method == "projective":
                 from ..ops import projective as projective_ops
 
-                self.layer, overflow = (
+                self.layer, overflow, budget_ovf = (
                     projective_ops.integrate_pointcloud_projective(
                         self.layer, T_G_C, points_C, colors, self.cfg,
                         resolution=self.projective_resolution,
@@ -168,6 +177,7 @@ class TsdfServer:
                         **self.projective_budgets,
                     )
                 )
+                self._record_scan(T_G_C, points_C, colors, budget_ovf)
             else:
                 self.layer, self.fast_state, overflow = (
                     tsdf_ops.integrate_pointcloud(
@@ -198,9 +208,88 @@ class TsdfServer:
         self.num_scans += 1
         return T_G_C
 
+    # -- projective grow-and-retry -----------------------------------------
+    def _record_scan(self, T_G_C, points_C, colors, budget_ovf,
+                     fused: bool = False):
+        self._pending_scans.append(
+            (T_G_C, points_C, colors, budget_ovf, fused)
+        )
+
+    def _grow_projective_budgets(self) -> bool:
+        """Advance every bounded projective budget one ladder rung
+        (double; slab budgets jump to None = safe unbounded once they
+        cover every slab of the visible set). Each rung is a new static
+        config -> one recompile, paid once and kept. Returns False when
+        everything is already at its safe maximum."""
+        from ..ops.projective import _slab_shape
+
+        b = self.projective_budgets
+        n_slabs = _slab_shape(self.layer.vps)[2]
+        changed = False
+        mvb = b["max_visible_blocks"]
+        if mvb < self.layer.max_blocks:
+            b["max_visible_blocks"] = min(2 * mvb, self.layer.max_blocks)
+            changed = True
+        for key in ("max_mixed_slabs", "max_free_slabs"):
+            v = b[key]
+            if v is not None:
+                cap = b["max_visible_blocks"] * n_slabs
+                b[key] = None if 2 * v >= cap else 2 * v
+                changed = True
+        return changed
+
+    def _replay_scan(self, T_G_C, points_C, colors, fused: bool):
+        """Re-dispatch one budget-overflowed scan at grown budget rungs
+        until it applies (its original dispatch applied nothing)."""
+        from ..ops import projective as projective_ops
+
+        while True:
+            if not self._grow_projective_budgets():
+                raise MemoryError(
+                    "projective scan overflows even at the maximum "
+                    "budgets; increase MapConfig.max_blocks"
+                )
+            if fused:
+                iters = self._fused_step(T_G_C, points_C, colors,
+                                         record=False)
+                pool_b, budget_b = jax.device_get(
+                    (self._overflow_acc, self._last_fused_budget)
+                )
+            else:
+                self.layer, pool_ovf, budget_ovf = (
+                    projective_ops.integrate_pointcloud_projective(
+                        self.layer, T_G_C, points_C, colors, self.cfg,
+                        resolution=self.projective_resolution,
+                        fov_h_rad=self.projective_fov,
+                        kind=self.projective_kind,
+                        **self.projective_budgets,
+                    )
+                )
+                pool_b, budget_b = jax.device_get((pool_ovf, budget_ovf))
+            if pool_b:
+                raise MemoryError(
+                    "block pool overflow; increase MapConfig.max_blocks"
+                )
+            if not budget_b:
+                return
+
+    def _drain_pending_scans(self):
+        """Resolve the recorded scans' budget flags (one batched
+        device_get) and replay the flagged ones at grown budgets."""
+        if not self._pending_scans:
+            return
+        pending, self._pending_scans = self._pending_scans, []
+        flags = jax.device_get([r[3] for r in pending])
+        for (T, pts, cols, _, fused), ovf in zip(pending, flags):
+            if ovf:
+                self._replay_scan(T, pts, cols, fused)
+
     def check_overflow(self):
-        """Synchronously verify no scan since the last check overflowed
-        the block pool (device->host readback; full pipeline sync)."""
+        """Synchronously resolve all deferred overflow flags: budget
+        overflows replay their scans at grown budgets (no dropped
+        updates); pool overflow raises (device->host readback; full
+        pipeline sync)."""
+        self._drain_pending_scans()
         if self._overflow_acc is None:
             return
         ovf = bool(self._overflow_acc)
@@ -322,6 +411,8 @@ class TsdfServer:
         self._mesh_more = None
         self.fast_state = tsdf_ops.make_fast_state()
         self.num_scans = 0
+        self._pending_scans = []
+        self._overflow_acc = None
 
     def stats(self):
         return {
@@ -355,14 +446,14 @@ def _fused_scan_jit(layer, esdf_layer, R, t, points_C, colors, tcfg, ecfg,
     from ..ops import projective as projective_ops
 
     if intrinsics is not None and points_C.ndim == 3:
-        layer, t_ovf = projective_ops.integrate_organized_projective(
+        layer, t_ovf, t_budget = projective_ops.integrate_organized_projective(
             layer, (R, t), points_C, colors, tcfg,
             intrinsics=intrinsics, pool=pool,
             max_visible_blocks=mvb, max_mixed_slabs=mms,
             max_free_slabs=mfs,
         )
     else:
-        layer, t_ovf = projective_ops.integrate_pointcloud_projective(
+        layer, t_ovf, t_budget = projective_ops.integrate_pointcloud_projective(
             layer, (R, t), points_C, colors, tcfg,
             resolution=resolution, fov_h_rad=fov_h_rad, kind=kind,
             max_visible_blocks=mvb, max_mixed_slabs=mms,
@@ -371,7 +462,7 @@ def _fused_scan_jit(layer, esdf_layer, R, t, points_C, colors, tcfg, ecfg,
     esdf_layer, layer, e_ovf, region_ovf, iters = esdf_ops._incremental_jit(
         esdf_layer, layer, ecfg
     )
-    return layer, esdf_layer, t_ovf, e_ovf, region_ovf, iters
+    return layer, esdf_layer, t_ovf, t_budget, e_ovf, region_ovf, iters
 
 
 class EsdfServer(TsdfServer):
@@ -430,13 +521,27 @@ class EsdfServer(TsdfServer):
             points_C, colors = self._pad(points_C, colors)
         if not isinstance(T_G_C, tuple):
             T_G_C = (jnp.asarray(T_G_C[:3, :3]), jnp.asarray(T_G_C[:3, 3]))
+        iters = self._fused_step(T_G_C, points_C, colors)
+        self.num_scans += 1
+        if self.num_scans % self.overflow_check_interval == 0:
+            self.check_overflow()
+        return iters
+
+    def _fused_step(self, T_G_C, points_C, colors, record: bool = True):
+        """One fused dispatch + device-side overflow accounting. With
+        ``record`` the scan is kept for the grow-and-retry drain (a
+        budget-overflowed fused scan applied NO tsdf update and hence no
+        new dirty bits — replaying the whole fused step is exact)."""
         run_cfg = esdf_ops._bucketed_cfg(
             self.esdf_cfg, self.esdf_layer, self.layer
         )
         b = self.projective_budgets
+        organized = (
+            points_C.ndim == 3 and self.projective_intrinsics is not None
+        )
         with timing.timer("fused_scan"):
-            (self.layer, self.esdf_layer, t_ovf, e_ovf, region_ovf,
-             iters) = _fused_scan_jit(
+            (self.layer, self.esdf_layer, t_ovf, t_budget, e_ovf,
+             region_ovf, iters) = _fused_scan_jit(
                 self.layer, self.esdf_layer, T_G_C[0], T_G_C[1],
                 points_C, colors, self.cfg, run_cfg,
                 self.projective_resolution, self.projective_fov,
@@ -450,6 +555,7 @@ class EsdfServer(TsdfServer):
             t_ovf if self._overflow_acc is None
             else self._overflow_acc | t_ovf
         )
+        self._last_fused_budget = t_budget
         self._esdf_pool_ovf = (
             e_ovf if getattr(self, "_esdf_pool_ovf", None) is None
             else self._esdf_pool_ovf | e_ovf
@@ -458,9 +564,9 @@ class EsdfServer(TsdfServer):
             region_ovf if self._esdf_region_ovf is None
             else self._esdf_region_ovf | region_ovf
         )
-        self.num_scans += 1
-        if self.num_scans % self.overflow_check_interval == 0:
-            self.check_overflow()
+        if record:
+            self._record_scan(T_G_C, points_C, colors, t_budget,
+                              fused=True)
         return iters
 
     def update_esdf(self):
@@ -503,6 +609,9 @@ class EsdfServer(TsdfServer):
         return int(iters)
 
     def check_overflow(self):
+        # Budget overflows first: flagged scans replay at grown budgets
+        # (transactional — nothing was applied, nothing double counts).
+        self._drain_pending_scans()
         # ONE device_get for all pending flags: each bool() readback is
         # a full pipeline sync (~25-70 ms through a remote-TPU tunnel),
         # so the three accumulators transfer together.
@@ -721,12 +830,13 @@ class SimulationServer:
             if self.method == "projective":
                 from ..ops import projective as projective_ops
 
-                self.tsdf_layer, overflow = (
+                self.tsdf_layer, p_ovf, b_ovf = (
                     projective_ops.integrate_pointcloud_projective(
                         self.tsdf_layer, pose, pts_C, colors, self.tsdf_cfg,
                         resolution=self.camera_res, fov_h_rad=float(self.fov),
                     )
                 )
+                overflow = p_ovf | b_ovf
             else:
                 self.tsdf_layer, self.fast_state, overflow = (
                     tsdf_ops.integrate_pointcloud(
