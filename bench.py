@@ -386,15 +386,21 @@ def _bench_velodyne(jax, jnp, *, objs=None, **_):
     print("velodyne compile...", file=sys.stderr)
     vlayer_, ovf = run(vlayer_, 0)
     jax.block_until_ready(vlayer_.channels["tsdf"])
-    reps = 3
-    t0 = time.perf_counter()
-    for i in range(reps):
-        vlayer_, ovf = run(vlayer_, i + 1)
-    float(jnp.sum(vlayer_.channels["weight"][:1]))
-    ms = (time.perf_counter() - t0) / (reps * K) * 1e3
+    # Median of 4 groups, first discarded: the first timed group after a
+    # fresh executable upload can read ~12-25x slow through the tunnel
+    # (CLAUDE.md; a single-group timing of this section once recorded
+    # 218 ms/scan for a path whose steady state is ~18).
+    times = []
+    for g in range(4):
+        t0 = time.perf_counter()
+        vlayer_, ovf = run(vlayer_, g + 1)
+        float(jnp.sum(vlayer_.channels["weight"][:1]))
+        times.append((time.perf_counter() - t0) / K * 1e3)
+    warm = sorted(times[1:])
+    ms = warm[len(warm) // 2]
     emit("velodyne_ms_per_scan", round(ms, 2), "ms", round(44.0 / ms, 2))
-    print(f"velodyne 0.2m/50m: {ms:.2f} ms/scan "
-          f"(overflow={bool(ovf)})", file=sys.stderr)
+    print(f"velodyne 0.2m/50m: {[round(t, 1) for t in times]} -> median "
+          f"{ms:.2f} ms/scan (overflow={bool(ovf)})", file=sys.stderr)
 
 
 def _bench_online(jax, jnp, *, voxel, scans, cfg, intrinsics, res, virt,
@@ -418,10 +424,22 @@ def _bench_online(jax, jnp, *, voxel, scans, cfg, intrinsics, res, virt,
     from voxblox_tpu.ops import esdf as esdf_ops
     from voxblox_tpu.server.mapper import EsdfServer
 
+    import os
+
+    # Capped incremental sweeps with carried convergence debt: per-scan
+    # sweep work stops re-converging the whole influence ball (STATUS
+    # round-4: 11 outers/scan = ~28 ms of the 50 ms loop); rows still
+    # changing at the cap re-enter the next scan's region, and the
+    # monotone fixpoint converges across the orbit (accuracy contract:
+    # tests/test_esdf.py::test_capped_incremental_sweeps_carry_debt...).
+    # Measured: cap=1 -> 19.7 ms/scan, cap=2 -> 21.5, cap=3 -> 23.9,
+    # uncapped -> 42.8 (reference cadence 23).
+    cap = int(os.environ.get("BENCH_ESDF_CAP", "1")) or None
     ecfg = EsdfIntegratorConfig(
         max_distance_m=2.0, default_distance_m=2.0,
         min_distance_m=2 * voxel, max_active_blocks=1024,
         use_pallas_kernel=True, inner_sweeps=4,
+        max_outer_sweeps_incremental=cap,
     )
     fx = res[0] / (2.0 * np.tan(np.deg2rad(60.0) / 2.0))
     srv = EsdfServer(

@@ -365,3 +365,57 @@ def test_add_occupied_crust():
     # fixed band: fixed-band values identical.
     fix_q = np.abs(zs) < 0.2
     np.testing.assert_allclose(got_c[fix_q], got_p[fix_q], atol=1e-6)
+
+
+def test_capped_incremental_sweeps_carry_debt_and_converge():
+    """max_outer_sweeps_incremental caps per-scan sweep work; rows still
+    changing at the cap carry SWEEP_DEBT and re-enter later updates, so
+    the amortized field converges to the exact batch fixpoint once the
+    debt drains (the online-loop latency amortization)."""
+    import dataclasses
+
+    w, objs, tcfg, layer, poses = _integrated_scene(n_poses=4)
+    capped = EsdfIntegratorConfig(
+        max_distance_m=2.0, default_distance_m=2.0, min_distance_m=0.2,
+        max_active_blocks=1024, max_outer_sweeps_incremental=1,
+    )
+    esdf_layer = vlayer.make_layer("esdf", VOXEL, vps=16, max_blocks=2048)
+    debt_seen = False
+    for pose in poses:
+        layer = _render_into(objs, pose, layer, tcfg)
+        esdf_layer, layer, ovf, _ = esdf.update_from_tsdf_incremental(
+            esdf_layer, layer, capped
+        )
+        assert not bool(ovf)
+        debt_seen |= bool(jnp.any(
+            (esdf_layer.block_flags & vlayer.SWEEP_DEBT) != 0
+        ))
+    assert debt_seen, "cap=1 never left debt — test scene too easy"
+
+    # Drain: no new scans; repeated capped updates must clear all debt.
+    for _ in range(64):
+        if not bool(jnp.any(
+            (esdf_layer.block_flags & vlayer.SWEEP_DEBT) != 0
+        )):
+            break
+        esdf_layer, layer, ovf, _ = esdf.update_from_tsdf_incremental(
+            esdf_layer, layer, capped
+        )
+        assert not bool(ovf)
+    assert not bool(jnp.any(
+        (esdf_layer.block_flags & vlayer.SWEEP_DEBT) != 0
+    )), "debt never drained"
+
+    # The drained field equals the exact batch fixpoint.
+    ref = vlayer.make_layer("esdf", VOXEL, vps=16, max_blocks=2048)
+    ref, ovf, _ = esdf.update_from_tsdf_batch(
+        ref, layer, dataclasses.replace(
+            capped, max_outer_sweeps_incremental=None
+        )
+    )
+    assert not bool(ovf)
+    det = evaluation.evaluate_layers_rmse(ref, esdf_layer)
+    assert det.num_evaluated_voxels > 10000
+    assert det.num_non_overlapping_voxels == 0, str(det)
+    assert det.rmse < 2e-3, str(det)
+    assert det.max_error < 0.05, str(det)

@@ -96,6 +96,17 @@ class EsdfIntegratorConfig:
     # pockets or surfaces and permanently under-estimate); elsewhere
     # only the unit sweeps act. E.g. (8, 4, 2, 1).
     sweep_strides: Optional[tuple] = None
+    # Incremental-update outer-sweep cap with carried convergence debt
+    # (None = relax to convergence per update, the reference's
+    # semantics). When set, each incremental update runs at most this
+    # many outer iterations and rows still changing at the cap carry a
+    # SWEEP_DEBT flag that re-enters the next update's sweep region —
+    # the fixpoint is monotone, so the field converges across scans
+    # while per-scan latency stays bounded. Staleness is bounded by
+    # (outers deficit) x inner_sweeps x voxel_size of propagation
+    # distance; a final uncapped update (or batch rebuild) settles the
+    # exact field.
+    max_outer_sweeps_incremental: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,6 +56,12 @@ DIRTY_ALL = np.uint8(7)
 # DIRTY_ALL: integrators never set it; ops/mesh sets it, io/mesh_msg
 # clears it.
 DIRTY_PUB = np.uint8(8)
+# ESDF rows still changing when a capped incremental sweep hit its
+# outer-iteration budget (cfg.max_outer_sweeps_incremental): they
+# re-enter the next update's sweep region so convergence debt amortizes
+# across scans. Lives on the ESDF layer's block_flags; ops/esdf sets and
+# clears it.
+SWEEP_DEBT = np.uint8(16)
 
 # Channel schemas per layer type. Extra trailing dims after the voxel cube.
 # Mirrors the reference voxel structs (core/voxel.h:12-47) in SoA form.

@@ -472,9 +472,11 @@ def lower_sweep(
     cfg: EsdfIntegratorConfig,
     region_rows=None,
 ):
-    """Relax to convergence. region_rows: bool[max_blocks] rows allowed to
-    change (None = all active rows). Returns (layer, outer_iters,
-    region_overflow).
+    """Relax to convergence (or cfg.max_outer_sweeps). region_rows:
+    bool[max_blocks] rows allowed to change (None = all active rows).
+    Returns (layer, outer_iters, region_overflow, unconverged) where
+    ``unconverged`` flags rows still changing when the loop hit the
+    outer cap (empty on a converged run).
 
     With ``cfg.max_active_blocks`` set, the sweep materializes only the
     region rows plus their 1-ring neighbor sources in a compact working
@@ -493,13 +495,13 @@ def lower_sweep(
     k = cfg.max_active_blocks
     if k is None or k >= mb:
         nbr = neighbor_slot_table(esdf_layer)
-        layer_out, iters = _sweep_on(
+        layer_out, iters, unconverged = _sweep_on(
             esdf_layer, esdf_layer.channels["esdf"],
             esdf_layer.channels["esdf_flags"], nbr, region_rows, cfg,
             write_back_rows=None,
             parent8=esdf_layer.channels["parent"],
         )
-        return layer_out, iters, jnp.asarray(False)
+        return layer_out, iters, jnp.asarray(False), unconverged
 
     # Compact working set: region rows + their neighbor sources. Both
     # probe passes run on <= k rows (probe_neighbor_rows), never the
@@ -530,12 +532,12 @@ def lower_sweep(
     f_c = jnp.where(r_ok[:, None], f_c, np.uint8(0))
     region_c = region_rows[safe] & r_ok
 
-    out_layer, iters = _sweep_on(
+    out_layer, iters, unconverged = _sweep_on(
         esdf_layer, d_c, f_c, nbr_c, region_c, cfg,
         write_back_rows=(rows, r_ok),
         parent8=esdf_layer.channels["parent"][safe],
     )
-    return out_layer, iters, region_overflow
+    return out_layer, iters, region_overflow, unconverged
 
 
 def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
@@ -545,7 +547,12 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
     write_back_rows is (rows, ok), results scatter back into the layer.
     parent8: int8[N, vpb*3] interleaved seed-offset vectors
     (full-euclidean). Cube views are materialized only inside the sweep
-    (gathered-subset reshapes; the stored channels stay flat)."""
+    (gathered-subset reshapes; the stored channels stay flat).
+
+    Returns (layer, iters, unconverged bool[max_blocks]): rows whose
+    LAST outer iteration still changed a voxel > min_diff — empty when
+    the loop converged, the still-active front when it exited at
+    cfg.max_outer_sweeps (the incremental debt-carry consumes this)."""
     v = esdf_layer.vps
     n_rows = d.shape[0]
     obs = (flags & OBS) != 0
@@ -572,8 +579,8 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
         p0 = jnp.zeros((1,), jnp.int32)  # placeholder carry
 
     def outer_cond(state):
-        dd, pp, changed, it = state
-        return changed & (it < cfg.max_outer_sweeps)
+        dd, pp, rc, it = state
+        return jnp.any(rc) & (it < cfg.max_outer_sweeps)
 
     use_pallas = (
         cfg.use_pallas_kernel and not full_euclid
@@ -617,8 +624,8 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
             )
 
         def outer_cond2(state):
-            d2, changed, it = state
-            return changed & (it < cfg.max_outer_sweeps)
+            d2, rc, it = state
+            return jnp.any(rc) & (it < cfg.max_outer_sweeps)
 
         def outer_body2(state):
             d2, _, it = state
@@ -628,26 +635,38 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
                 interpret=pallas_interpret, strides=cfg.sweep_strides,
                 stride_codes=codes,
             )
-            changed = jnp.any(jnp.abs(d2a - d2) > cfg.min_diff_m)
+            # Per-row last-outer change mask: the loop's own convergence
+            # test AND the unconverged-front output, at no extra passes.
+            rc = jnp.any(
+                (jnp.abs(d2a - d2) > cfg.min_diff_m).reshape(bt, -1),
+                axis=1,
+            )
             d2b = _halo_exchange_2d(d2a, nbr_pad, bt)
-            return d2b, changed, it + 1
+            return d2b, rc, it + 1
 
-        d2f, _, iters = jax.lax.while_loop(
-            outer_cond2, outer_body2, (d20, jnp.asarray(True), jnp.int32(0))
+        d2f, rcf, iters = jax.lax.while_loop(
+            outer_cond2, outer_body2,
+            (d20, jnp.ones((bt,), bool), jnp.int32(0)),
         )
         d_out = _pk.from_2d(d2f, n_rows)[:, 1:-1, 1:-1, 1:-1].reshape(
             n_rows, -1
         )
+        unc_c = rcf[:n_rows]
         ch = dict(esdf_layer.channels)
         if write_back_rows is None:
             ch["esdf"] = d_out
+            unconverged = unc_c
         else:
             rows, ok = write_back_rows
             wr = jnp.where(ok, rows, esdf_layer.max_blocks)
             ch["esdf"] = ch["esdf"].at[wr].set(
                 d_out, mode="drop", unique_indices=True
             )
-        return dataclasses.replace(esdf_layer, channels=ch), iters
+            unconverged = jnp.zeros(
+                (esdf_layer.max_blocks + 1,), bool
+            ).at[wr].set(unc_c & ok, mode="drop")[:-1]
+        return (dataclasses.replace(esdf_layer, channels=ch), iters,
+                unconverged)
 
     # XLA fallback path: the observed halo does not change across outer
     # iterations — build it once, outside the while loop (only the
@@ -689,11 +708,14 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
             return di, pi
 
         dd, pp = jax.lax.fori_loop(0, cfg.inner_sweeps, inner, (dd, pp))
-        changed = jnp.any(jnp.abs(dd - d0) > cfg.min_diff_m)
-        return dd, pp, changed, it + 1
+        rc = jnp.any(
+            jnp.abs(dd - d0) > cfg.min_diff_m, axis=(1, 2, 3)
+        )
+        return dd, pp, rc, it + 1
 
-    d_out, p_out, _, iters = jax.lax.while_loop(
-        outer_cond, outer_body, (d, p0, jnp.asarray(True), jnp.int32(0))
+    d_out, p_out, rcf, iters = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (d, p0, jnp.ones((n_rows,), bool), jnp.int32(0)),
     )
     d_out = d_out.reshape(n_rows, -1)
     ch = dict(esdf_layer.channels)
@@ -704,6 +726,7 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
         )
     if write_back_rows is None:
         ch["esdf"] = d_out
+        unconverged = rcf
         if full_euclid:
             ch["parent"] = par8
     else:
@@ -712,11 +735,14 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
         ch["esdf"] = ch["esdf"].at[wr].set(
             d_out, mode="drop", unique_indices=True
         )
+        unconverged = jnp.zeros(
+            (esdf_layer.max_blocks + 1,), bool
+        ).at[wr].set(rcf & ok, mode="drop")[:-1]
         if full_euclid:
             ch["parent"] = ch["parent"].at[wr].set(
                 par8, mode="drop", unique_indices=True
             )
-    return dataclasses.replace(esdf_layer, channels=ch), iters
+    return dataclasses.replace(esdf_layer, channels=ch), iters, unconverged
 
 
 def _halo_exchange_2d(d2, nbr_pad, bt: int):
@@ -1082,7 +1108,16 @@ def _batch_jit(esdf_layer, tsdf_layer, cfg: EsdfIntegratorConfig):
         esdf_layer, _, _, seed_ovf = _seed_compact(
             esdf_layer, tsdf_layer, cfg, rows_mask, k, crust=crust
         )
-    esdf_layer, iters, region_ovf = lower_sweep(esdf_layer, cfg)
+    esdf_layer, iters, region_ovf, unconverged = lower_sweep(esdf_layer, cfg)
+    # A batch rebuild converges (or re-derives) the whole field: refresh
+    # the debt flags from ITS convergence state so stale debt from a
+    # prior capped run never lingers.
+    flags = jnp.where(
+        unconverged,
+        esdf_layer.block_flags | vlayer.SWEEP_DEBT,
+        esdf_layer.block_flags & jnp.uint8(~vlayer.SWEEP_DEBT & 0xFF),
+    ).astype(jnp.uint8)
+    esdf_layer = dataclasses.replace(esdf_layer, block_flags=flags)
     return esdf_layer, overflow, region_ovf | seed_ovf, iters
 
 
@@ -1238,7 +1273,34 @@ def _incremental_jit(esdf_layer, tsdf_layer, cfg):
     for _ in range(radius):
         sweep_region, o = dilate1(sweep_region)
         dil_ovf = dil_ovf | o
-    esdf_layer, iters, region_ovf = lower_sweep(esdf_layer, cfg, sweep_region)
+
+    # Convergence-debt carry (cfg.max_outer_sweeps_incremental): rows a
+    # previous capped sweep left still-changing re-enter the region
+    # (+1 block so a front crossing their border may advance), the
+    # sweep runs at most the capped outer count, and rows still active
+    # at the cap carry the SWEEP_DEBT flag forward. The fixpoint is
+    # monotone, so the amortized field converges across scans; a final
+    # uncapped update settles it exactly.
+    cap = cfg.max_outer_sweeps_incremental
+    debt = (esdf_layer.block_flags & vlayer.SWEEP_DEBT) != 0
+    debt1, o = dilate1(debt)
+    dil_ovf = dil_ovf | o
+    sweep_region = sweep_region | debt1
+    if cap is not None:
+        run_cfg = dataclasses.replace(
+            cfg, max_outer_sweeps=min(cap, cfg.max_outer_sweeps)
+        )
+    else:
+        run_cfg = cfg
+    esdf_layer, iters, region_ovf, unconverged = lower_sweep(
+        esdf_layer, run_cfg, sweep_region
+    )
+    flags = jnp.where(
+        unconverged,
+        esdf_layer.block_flags | vlayer.SWEEP_DEBT,
+        esdf_layer.block_flags & jnp.uint8(~vlayer.SWEEP_DEBT & 0xFF),
+    ).astype(jnp.uint8)
+    esdf_layer = dataclasses.replace(esdf_layer, block_flags=flags)
     tsdf_layer = vlayer.clear_dirty(tsdf_layer, vlayer.DIRTY_ESDF)
     return (esdf_layer, tsdf_layer, overflow,
             region_ovf | seed_ovf | dil_ovf, iters)

@@ -164,7 +164,7 @@ def esdf_from_occupancy_batch(
     ch["esdf_flags"] = flags.reshape(ch["esdf_flags"].shape)
     esdf_layer = dataclasses.replace(esdf_layer, channels=ch)
 
-    esdf_layer, iters, region_ovf = lower_sweep(esdf_layer, cfg)
+    esdf_layer, iters, region_ovf, _ = lower_sweep(esdf_layer, cfg)
     return esdf_layer, overflow | region_ovf, iters
 
 

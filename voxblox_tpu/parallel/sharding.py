@@ -347,7 +347,7 @@ def lower_sweep_sharded(mesh: Mesh, esdf_layer, cfg, region_rows=None):
     fn = jax.jit(lower_sweep, static_argnames=("cfg",))
     run_cfg = cfg
     while True:
-        layer_out, iters, region_ovf = fn(esdf_layer, run_cfg, region_rows)
+        layer_out, iters, region_ovf, _ = fn(esdf_layer, run_cfg, region_rows)
         if run_cfg.max_active_blocks is None or not bool(region_ovf):
             return layer_out, iters
         k = min(run_cfg.max_active_blocks * 2, esdf_layer.max_blocks)
