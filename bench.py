@@ -192,15 +192,33 @@ def _bench_mesh(jax, jnp, *, layer, voxel, **_):
     active_rows = np.nonzero(np.asarray(layer.active_mask()))[0]
     bucket = 64
 
-    def one_update(layer, pool, rows):
-        rows_j = jnp.asarray(rows, jnp.int32)
+    # ONE dispatch per update: the mark_dirty scaffolding (the real
+    # pipeline's integrator sets these bits inside its own program) fuses
+    # with the march — three eager flag ops per update each cost a
+    # tunnel enqueue.
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def _mark_and_update(layer, pool, rows_j):
         layer = vlayer.mark_dirty(
-            layer, rows_j, jnp.ones(len(rows), bool), vlayer.DIRTY_MESH
+            layer, rows_j, jnp.ones(rows_j.shape[0], bool),
+            vlayer.DIRTY_MESH,
         )
-        layer, pool, _ = mesh_ops.update_mesh_pool(
-            layer, pool, mcfg, bucket=bucket, only_updated=True
+        flags, pool, _ = mesh_ops._update_mesh_pool_jit(
+            layer, pool, mcfg.min_weight, True, bucket, True,
+            cube_budget=mcfg.march_cube_budget,
         )
-        return layer, pool
+        # Return flags only: returning the whole (undonated) layer would
+        # copy every pass-through channel out of the program.
+        return flags, pool
+
+    import dataclasses as _dc
+
+    def one_update(layer, pool, rows):
+        flags, pool = _mark_and_update(
+            layer, pool, jnp.asarray(rows, jnp.int32)
+        )
+        return _dc.replace(layer, block_flags=flags), pool
 
     # Warmup/compile + fill the whole pool once (drain all active rows).
     for s in range(0, len(active_rows), bucket):

@@ -59,15 +59,22 @@ pool = mesh_ops.make_mesh_pool(layer.max_blocks, mcfg.device_tri_cap)
 active_rows = np.nonzero(np.asarray(layer.active_mask()))[0]
 bucket = 64
 
-def one_update(layer, pool, rows):
-    rows_j = jnp.asarray(rows, jnp.int32)
+import functools, dataclasses
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _mark_and_update(layer, pool, rows_j):
     layer = vlayer.mark_dirty(
-        layer, rows_j, jnp.ones(len(rows), bool), vlayer.DIRTY_MESH
+        layer, rows_j, jnp.ones(rows_j.shape[0], bool), vlayer.DIRTY_MESH
     )
-    layer, pool, _ = mesh_ops.update_mesh_pool(
-        layer, pool, mcfg, bucket=bucket, only_updated=True
+    flags, pool, _ = mesh_ops._update_mesh_pool_jit(
+        layer, pool, mcfg.min_weight, True, bucket, True,
+        cube_budget=mcfg.march_cube_budget,
     )
-    return layer, pool
+    return flags, pool
+
+def one_update(layer, pool, rows):
+    flags, pool = _mark_and_update(layer, pool, jnp.asarray(rows, jnp.int32))
+    return dataclasses.replace(layer, block_flags=flags), pool
 
 for s in range(0, len(active_rows), bucket):
     layer, pool = one_update(layer, pool, active_rows[s : s + bucket])

@@ -175,6 +175,11 @@ TRI_TABLE = _build_tri_table()  # int8 [256, 16], -1 terminated
 TRI_COUNT = np.sum(TRI_TABLE[:, 0 : MAX_TRIS * 3 : 3] >= 0, axis=1).astype(
     np.int32
 )
+# Every non-trivial config emits at least one triangle — ops/mesh's
+# compact-first march classifies surface cubes by config != {0, 255}
+# alone (vector compares instead of a dense TRI_COUNT gather).
+assert TRI_COUNT[0] == 0 and TRI_COUNT[255] == 0
+assert (TRI_COUNT[1:255] > 0).all()
 
 
 # ---------------------------------------------------------------------------

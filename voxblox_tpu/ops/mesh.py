@@ -156,6 +156,29 @@ def weld_vertices(vertices, normals, colors, tol: float = 1e-6):
 # ---------------------------------------------------------------------------
 
 
+def _cumsum_lanes(x_i32, chunk: int = 128):
+    """Inclusive cumsum of small non-negative int32 along axis 1 via MXU
+    triangular matmuls. XLA lowers a 4096-lane jnp.cumsum to a two-level
+    scalar-unit custom fusion (~2 ms per 262k elements on the mesh
+    trace); as two matmuls against upper-triangular ones-matrices the
+    same scan is ~free on the MXU (f32 is exact for sums < 2^24)."""
+    b, n = x_i32.shape
+    assert n % chunk == 0
+    x = x_i32.astype(jnp.float32).reshape(b * (n // chunk), chunk)
+    tri = jnp.asarray(
+        np.triu(np.ones((chunk, chunk), np.float32))
+    )  # tri[j, i] = 1 for j <= i
+    within = jnp.dot(x, tri, precision=jax.lax.Precision.HIGHEST)
+    nch = n // chunk
+    chunk_tot = within[:, -1].reshape(b, nch)
+    # Exclusive chunk offsets: off[i] = sum_{j < i} tot[j].
+    chunk_off = jnp.dot(chunk_tot, jnp.asarray(
+        np.triu(np.ones((nch, nch), np.float32), k=1)
+    ), precision=jax.lax.Precision.HIGHEST)
+    out = within.reshape(b, nch, chunk) + chunk_off[:, :, None]
+    return out.reshape(b, n).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("min_weight", "use_color"))
 def _march_rows(layer: vlayer.VoxelLayer, rows, min_weight: float,
                 use_color: bool):
@@ -510,23 +533,28 @@ def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
               slice(cx, cx + v))
         config = config | jnp.where(sdf_pad[sl] < 0.0, 1 << i, 0)
         valid = valid & (w_pad[sl] > min_weight)
-    # TRI_COUNT[0] = TRI_COUNT[255] = 0: empty/full cubes drop out here.
-    counts_cube = jnp.where(
-        valid, jnp.asarray(mc.TRI_COUNT)[config], 0
-    ).reshape(b, v**3)
+    # Surface-cube mask by PURE vector compares: every config outside
+    # {0, 255} emits >= 1 triangle (asserted on the derived table at
+    # import), so the dense TRI_COUNT lookup — a 262k-index gather into
+    # a 256-entry table that lowered to a ~2.2 ms/update scalar-unit
+    # loop (xplane trace) — moves to the <= t_budget COMPACTED set:
+    # triangle counts and slot starts are derived there below.
+    surf = (valid & (config != 0) & (config != 255)).reshape(b, v**3)
 
-    cum = jnp.cumsum(counts_cube, axis=1)
-    start = cum - counts_cube  # [B, v^3] triangle slot of each cube
-    counts_full = cum[:, -1]
-    counts = jnp.minimum(counts_full, cap)
-    ovf = counts_full > cap
-
-    # ---- compact surface cubes (start < cap => <= B*cap kept) ----------
     n_cubes = b * v**3
     t_budget = b * cap
     if cube_budget is not None:
         t_budget = min(int(cube_budget), t_budget)
-    keep_cube = (counts_cube > 0) & (start < cap)
+    # Per-row inclusive surface-cube count by MXU matmul cumsum (a flat
+    # jnp.nonzero/jnp.cumsum over the 262k lanes is a scalar-unit custom
+    # fusion, ~4.4 ms/update).
+    incl = _cumsum_lanes(surf.astype(jnp.int32))  # [b, v^3]
+    # Per-row guard: beyond cap surface cubes the row overflows tri_cap
+    # anyway (>= 1 triangle each); capping its compacted share keeps one
+    # dense row from eating the whole cube budget. Guarded rows are
+    # overflow-flagged (dense fallback re-meshes them).
+    keep_cube = surf & (incl <= cap)
+    ovf = jnp.any(surf & (incl > cap), axis=1)
     if t_budget < b * cap:
         # The compaction keeps the FIRST t_budget surviving cubes in
         # block-major order, so any spill hits the trailing bucket rows:
@@ -535,8 +563,18 @@ def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
         # dense fallback on export, like tri_cap overflow.
         kept_per_row = jnp.sum(keep_cube, axis=1)
         ovf = ovf | (jnp.cumsum(kept_per_row) > t_budget)
-    cid = jnp.nonzero(keep_cube.reshape(-1), size=t_budget,
-                      fill_value=n_cubes)[0]
+    inclk = jnp.minimum(incl, cap)  # = per-row cumsum of keep_cube
+    row_tot = jnp.minimum(incl[:, -1], cap)
+    row_base = jnp.cumsum(row_tot) - row_tot  # [b] exclusive
+    gdst = row_base[:, None] + inclk - 1
+    flat_id = jax.lax.broadcasted_iota(jnp.int32, keep_cube.shape, 0) \
+        * (v**3) + jax.lax.broadcasted_iota(jnp.int32, keep_cube.shape, 1)
+    wdst = jnp.where(
+        keep_cube & (gdst < t_budget), gdst, t_budget + flat_id
+    )
+    cid = jnp.full((t_budget,), n_cubes, jnp.int32).at[
+        wdst.reshape(-1)
+    ].set(flat_id.reshape(-1), mode="drop", unique_indices=True)
     ok = cid < n_cubes
     safe_cid = jnp.where(ok, cid, 0)
     cb = (safe_cid // v**3).astype(jnp.int32)
@@ -590,7 +628,25 @@ def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
         config_c = config_c | jnp.where(csdf[:, i] < 0.0, 1 << i, 0)
     table = jnp.asarray(mc.TRI_TABLE, jnp.int32)
     ids15 = jnp.maximum(table[config_c][:, : mc.MAX_TRIS * 3], 0)  # [T,15]
-    count_c = jnp.asarray(mc.TRI_COUNT)[config_c]
+    count_c = jnp.where(ok, jnp.asarray(mc.TRI_COUNT)[config_c], 0)
+
+    # Per-block triangle slot starts on the COMPACTED set: one matmul
+    # cumsum + a per-block rebase (compacted ids ascend block-major, so
+    # a block's first cube carries the block-minimum exclusive prefix).
+    if t_budget % 128 == 0:
+        g_incl = _cumsum_lanes(count_c[None, :])[0]
+    else:
+        g_incl = jnp.cumsum(count_c)
+    g_excl = g_incl - count_c
+    first_g = jnp.full((b + 1,), jnp.int32(1 << 30)).at[
+        jnp.where(ok, cb, b)
+    ].min(g_excl, mode="drop")[:-1]
+    start_c = g_excl - jnp.where(ok, first_g[cb], 0)
+    tot = jnp.zeros((b + 1,), jnp.int32).at[
+        jnp.where(ok, cb, b)
+    ].add(count_c, mode="drop")[:-1]
+    counts = jnp.minimum(tot, cap)
+    ovf = ovf | (tot > cap)
 
     # Edge-vertex selection WITHOUT a per-vertex random gather: one-hot
     # contraction over the 12 edges (the old take_along_axis over the
@@ -653,7 +709,6 @@ def _update_mesh_pool_jit(layer: vlayer.VoxelLayer, pool: MeshPool,
     # Scatter each kept triangle straight to its (block, slot) row —
     # slots are known (per-block running start + intra-cube position),
     # so no second compaction / re-expansion gather is needed.
-    start_c = start.reshape(-1)[safe_cid]
     tidx = jnp.arange(mc.MAX_TRIS, dtype=jnp.int32)[None, :]
     slot = start_c[:, None] + tidx  # [T,5]
     keep_tri = ok[:, None] & (tidx < count_c[:, None]) & (slot < cap)
