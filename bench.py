@@ -291,20 +291,21 @@ def _bench_esdf(jax, jnp, *, layer, voxel, **_):
         retry wrapper's bool() is a ~25-70 ms tunnel sync per call that a
         pipelined rebuild loop never pays); overflow flags are resolved
         once at the end, outside the timing."""
-        esdf_layer = vlayer.make_layer("esdf", voxel, vps=16,
-                                       max_blocks=4096)
-        esdf_layer, _, _, iters = esdf_ops.update_from_tsdf_batch_deferred(
-            esdf_layer, layers[0], cfg_
+        e2 = vlayer.make_layer("esdf", voxel, vps=16, max_blocks=4096)
+        e2, _, _, iters = esdf_ops.update_from_tsdf_batch_deferred(
+            e2, layers[0], cfg_
         )
-        jax.block_until_ready(esdf_layer.channels["esdf"])
+        jax.block_until_ready(e2.channels["esdf"])
         times = []
         flags = []
-        G = 2
+        G = 4
         for i in range(n):
             t0 = time.perf_counter()
             for g in range(G):
-                e2 = vlayer.make_layer("esdf", voxel, vps=16,
-                                       max_blocks=4096)
+                # Chain on the SAME layer: _batch_jit clears + rebuilds
+                # its voxel state, so reuse is exact, varies nothing the
+                # tunnel could memoize (the tsdf input rotates), and
+                # skips three pool-sized zero-allocs per call.
                 e2, ovf, r_ovf, iters = (
                     esdf_ops.update_from_tsdf_batch_deferred(
                         e2, layers[1 + (G * i + g) % (len(layers) - 1)],

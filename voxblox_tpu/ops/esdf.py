@@ -518,6 +518,21 @@ def lower_sweep(
     region_overflow = (jnp.sum(in_set) > k) | (jnp.sum(region_rows) > k)
     rows = jnp.nonzero(in_set, size=k, fill_value=-1)[0]
     r_ok = rows >= 0
+    # Morton-order the working set: pool-slot order is hash-random, so
+    # the kernel's 8-block tiles mix unrelated regions and the per-tile
+    # activity gate never fires (any of 8 random blocks active keeps the
+    # tile active). Sorted by interleaved block coordinates, a tile is a
+    # ~2x2x2 spatial chunk whose blocks converge together. The compact
+    # remap below handles any ordering; cost = one [k] sort per update.
+    bijk_ws = esdf_layer.block_ijk[jnp.where(r_ok, rows, 0)]
+    base = jnp.min(
+        jnp.where(r_ok[:, None], bijk_ws, jnp.int32(1 << 20)), axis=0
+    )
+    code = _morton10(jnp.clip(bijk_ws - base, 0, 1023))
+    rows = rows[jnp.argsort(
+        jnp.where(r_ok, code, jnp.int32(0x7FFFFFFF))
+    )]
+    r_ok = rows >= 0
     safe = jnp.where(r_ok, rows, 0)
     inv = jnp.full((mb + 1,), -1, jnp.int32).at[
         jnp.where(r_ok, rows, mb)
@@ -538,6 +553,25 @@ def lower_sweep(
         parent8=esdf_layer.channels["parent"][safe],
     )
     return out_layer, iters, region_overflow, unconverged
+
+
+def _morton10(rel):
+    """Interleave 3x10-bit non-negative coords [N, 3] -> int32 Morton
+    codes (spatial sort keys for the sweep working set)."""
+
+    def part1by2(x):
+        x = x & 0x3FF
+        x = (x | (x << 16)) & 0x30000FF
+        x = (x | (x << 8)) & 0x300F00F
+        x = (x | (x << 4)) & 0x30C30C3
+        x = (x | (x << 2)) & 0x9249249
+        return x
+
+    return (
+        part1by2(rel[:, 0])
+        | (part1by2(rel[:, 1]) << 1)
+        | (part1by2(rel[:, 2]) << 2)
+    )
 
 
 def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
@@ -628,12 +662,24 @@ def _sweep_on(esdf_layer, d, flags, nbr, region_rows, cfg,
             return jnp.any(rc) & (it < cfg.max_outer_sweeps)
 
         def outer_body2(state):
-            d2, _, it = state
+            d2, rc, it = state
+            # Per-tile activity gate for the kernel: a block can change
+            # this outer only if it or a 1-ring neighbor changed in the
+            # previous one (state flows <= 1 block per halo exchange) —
+            # converged tiles copy through inside the kernel, so sweep
+            # cost follows the moving front, not the working set.
+            act = rc | jnp.any(
+                jnp.where(
+                    nbr_pad >= 0,
+                    rc[jnp.clip(nbr_pad, 0, bt - 1)], False,
+                ),
+                axis=1,
+            )
             d2a = _pk.relax_2d(
                 d2, o2, u2, cfg.inner_sweeps, esdf_layer.voxel_size,
                 cfg.max_distance_m, cfg.min_diff_m,
                 interpret=pallas_interpret, strides=cfg.sweep_strides,
-                stride_codes=codes,
+                stride_codes=codes, active=act,
             )
             # Per-row last-outer change mask: the loop's own convergence
             # test AND the unconverged-front output, at no extra passes.

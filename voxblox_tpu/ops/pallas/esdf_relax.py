@@ -98,6 +98,29 @@ def _relax_kernel(strides: tuple, voxel_size: float, max_distance: float,
     }
 
     def kernel(*refs):
+        act_ref = refs[-2]
+        refs = refs[:-2] + refs[-1:]
+        if strided:
+            d_ref, obs_ref, upd_ref, cp_ref, cn_ref, out_ref = refs
+        else:
+            d_ref, obs_ref, upd_ref, out_ref = refs
+
+        # Tile-level activity gate: blocks whose 1-ring didn't change in
+        # the previous outer iteration provably cannot change in this
+        # one (their padded state is bit-identical; sweeps are
+        # deterministic) — skip the whole 26-offset pipeline and copy
+        # through. The kernel is VPU-compute-bound, so converged tiles
+        # become ~free; on a batch rebuild the active set is the
+        # outward-moving front shell.
+        @pl.when(jnp.max(act_ref[:]) < 0.5)
+        def _copy_through():
+            out_ref[:] = d_ref[:]
+
+        @pl.when(jnp.max(act_ref[:]) >= 0.5)
+        def _run_sweeps():
+            _sweeps(refs)
+
+    def _sweeps(refs):
         if strided:
             d_ref, obs_ref, upd_ref, cp_ref, cn_ref, out_ref = refs
             code_pos = cp_ref[:]
@@ -316,14 +339,18 @@ def erode1_2d(m, interior):
 def relax_2d(d2, o2, u2, inner_sweeps: int, voxel_size: float,
              max_distance: float, min_diff: float,
              interpret: bool = False, block_tile: int = 8,
-             strides=None, stride_codes=None):
+             strides=None, stride_codes=None, active=None):
     """Run relaxations directly on kernel-layout state ([BT*18, LANE_PAD]
     from ``to_2d``) — callers that keep the sweep state 2D across outer
     iterations skip the per-call cube<->2D relayouts (~5 ms per call at
     512 blocks). ``strides``: per-relaxation step multiples (default
     ``(1,) * inner_sweeps``); strided schedules REQUIRE ``stride_codes``
     = (code_pos, code_neg) — the per-voxel jump-admissibility levels
-    (see _relax_kernel and ops/esdf._stride_codes_2d)."""
+    (see _relax_kernel and ops/esdf._stride_codes_2d). ``active``:
+    optional f32/bool[BT] per-block activity — TILES whose blocks are
+    all inactive copy through instead of sweeping (the caller must set
+    a block active whenever it or a 1-ring neighbor changed in the
+    previous outer iteration; see the kernel's soundness note)."""
     strides = tuple(strides) if strides else (1,) * inner_sweeps
     strided = any(k > 1 for k in strides)
     if strided and stride_codes is None:
@@ -336,15 +363,25 @@ def relax_2d(d2, o2, u2, inner_sweeps: int, voxel_size: float,
     grid = (bt // block_tile,)
     spec = pl.BlockSpec((rows_tile, LANE_PAD), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    if active is None:
+        act2 = jnp.ones((rows, 128), jnp.float32)
+    else:
+        # Row-replicated so the activity tile keeps a sublane dim
+        # divisible by 8 for any block_tile (Mosaic block constraint).
+        act2 = jnp.broadcast_to(
+            active.astype(jnp.float32)[:, None, None], (bt, P, 128)
+        ).reshape(rows, 128)
+    act_spec = pl.BlockSpec((rows_tile, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     args = (d2, o2, u2) + (tuple(stride_codes) if strided else ())
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((rows, LANE_PAD), jnp.float32),
         grid=grid,
-        in_specs=[spec] * len(args),
+        in_specs=[spec] * len(args) + [act_spec],
         out_specs=spec,
         interpret=interpret,
-    )(*args)
+    )(*args, act2)
 
 
 @partial(
