@@ -513,6 +513,8 @@ def _bench_online(jax, jnp, *, voxel, scans, cfg, intrinsics, res, virt,
 
 
 def _bench_render(jax, jnp, *, layer, **_):
+    import dataclasses
+
     from voxblox_tpu.ops import render as render_ops
 
     n_rays = 65536
@@ -521,7 +523,11 @@ def _bench_render(jax, jnp, *, layer, **_):
         np.stack([np.sin(ang), np.cos(ang), np.zeros(n_rays)], -1)
     )
     origins = jnp.broadcast_to(jnp.asarray([0.0, -4.0, 2.0]), dirs.shape)
-    depth, hit = render_ops.render_depth(layer, origins, dirs, 8.0)
+    # Auto-fit grid: the orbit map fits 16 blocks/axis -> the packed
+    # single-gather march.
+    dim = render_ops.fit_dense_grid_dim(layer)
+    depth, hit = render_ops.render_depth(layer, origins, dirs, 8.0,
+                                         dense_grid_dim=dim)
     jax.block_until_ready(depth)
     # Median of 3 timed groups: single groups occasionally catch leftover
     # tunnel/compile turbulence (measured 25x outliers right after an
@@ -534,13 +540,48 @@ def _bench_render(jax, jnp, *, layer, **_):
             # somewhere in the remote-TPU path (see CLAUDE.md).
             depth, hit = render_ops.render_depth(
                 layer, origins + np.float32(1e-4 * (4 * g + i + 1)), dirs,
-                8.0,
+                8.0, dense_grid_dim=dim,
             )
         float(depth[0])  # readback-forced sync
         times.append(time.perf_counter() - t0)
     rays_per_sec = 4 * n_rays / sorted(times)[1]
     emit("render_rays_per_sec", round(rays_per_sec), "rays/s", None)
-    print(f"render: {rays_per_sec/1e6:.2f} M rays/s", file=sys.stderr)
+    print(f"render: {rays_per_sec/1e6:.2f} M rays/s (grid {dim})",
+          file=sys.stderr)
+
+    # Backward: full loss + voxel-SDF gradient step (the differentiable
+    # mapping use case — BASELINE's "forward+backward kernels" bar).
+    target = jax.lax.stop_gradient(depth)
+
+    @jax.jit
+    def loss_grad(tsdf_channel, o):
+        def loss_fn(ch):
+            lyr = dataclasses.replace(
+                layer, channels={**layer.channels, "tsdf": ch}
+            )
+            dep, hit = render_ops.render_depth(lyr, o, dirs, 8.0,
+                                               dense_grid_dim=dim)
+            err = jnp.where(hit, dep - target, 0.0)
+            return jnp.sum(err * err)
+
+        return jax.value_and_grad(loss_fn)(tsdf_channel)
+
+    base = layer.channels["tsdf"]
+    l0, g0 = loss_grad(base, origins)
+    jax.block_until_ready(g0)
+    times = []
+    for g in range(3):
+        t0 = time.perf_counter()
+        for i in range(4):
+            l0, g0 = loss_grad(
+                base, origins + np.float32(1e-4 * (4 * g + i + 1))
+            )
+        float(l0)  # readback-forced sync
+        times.append(time.perf_counter() - t0)
+    bwd_rays = 4 * n_rays / sorted(times)[1]
+    emit("render_backward_rays_per_sec", round(bwd_rays), "rays/s", None)
+    print(f"render backward (loss+grad): {bwd_rays/1e6:.2f} M rays/s",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

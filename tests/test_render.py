@@ -46,14 +46,15 @@ def test_ray_missing_surface():
 
 
 def test_fit_dense_grid_dim():
-    """Maps wider than the default dense grid get an auto-scaled dim so
-    far blocks are not silently treated as empty."""
+    """The dense grid auto-sizes to the active bbox (multiple of 16,
+    min 16): small maps get the packed march, wide maps still cover
+    every block instead of silently treating far ones as empty."""
     objs, layer = _sphere_layer()
-    assert render.fit_dense_grid_dim(layer, 64) == 64
-    # A sphere 12 m away at 0.1 m voxels / vps=8 puts blocks ~15+ block
-    # widths apart per axis — still under 64; shrink the budget instead.
-    assert render.fit_dense_grid_dim(layer, 4) % 16 == 0
-    assert render.fit_dense_grid_dim(layer, 4) > 4
+    d = render.fit_dense_grid_dim(layer)
+    assert d % 16 == 0 and 16 <= d <= 32
+    ext = np.asarray(layer.block_ijk)[np.asarray(layer.active_mask())]
+    extent = int((ext.max(0) - ext.min(0)).max()) + 1
+    assert d >= extent
 
 
 def test_render_depth_accuracy():
@@ -258,3 +259,65 @@ def test_color_gradients_match_finite_differences():
         )
         checked += 1
     assert checked >= 2
+
+
+def test_packed_march_matches_general_path():
+    """Maps fitting a <= 32-block grid use the packed single-gather
+    march; depths, hits and SDF gradients must match the general
+    (block-grid + field) path."""
+    objs, layer = _sphere_layer()
+    n = 512
+    rng = np.random.RandomState(11)
+    origins = jnp.asarray(np.stack([
+        rng.uniform(-3.5, -2.5, n),
+        rng.uniform(-0.3, 0.3, n),
+        rng.uniform(-0.3, 0.3, n),
+    ], -1).astype(np.float32))
+    d = np.array([[1.0, 0.0, 0.0]] * n, np.float32) + rng.uniform(
+        -0.2, 0.2, (n, 3)
+    ).astype(np.float32)
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+
+    dep_g, hit_g = render.render_depth(
+        layer, origins, dirs, 8.0, dense_grid_dim=64
+    )  # general path
+    dep_p, hit_p = render.render_depth(
+        layer, origins, dirs, 8.0, dense_grid_dim=16
+    )  # packed path
+    np.testing.assert_array_equal(np.asarray(hit_g), np.asarray(hit_p))
+    # The two marches stop at slightly different gradient-stopped points
+    # (the packed path steps through near-surface free blocks by their
+    # real SDF instead of block exits); the shared refinement + Newton
+    # agree to mm for all but a few grazing rays whose pulls settle in
+    # an adjacent sub-voxel basin (bounded by half a voxel).
+    diff = np.abs(np.asarray(dep_g) - np.asarray(dep_p))
+    assert (diff < 3e-3).mean() > 0.98, diff.max()
+    assert diff.max() < 0.5 * layer.voxel_size, diff.max()
+
+    # FD-check the PACKED path's SDF gradients (the general path has its
+    # own FD test above).
+    def loss(tsdf_channel):
+        ch = dict(layer.channels)
+        ch["tsdf"] = tsdf_channel
+        lyr = dataclasses.replace(layer, channels=ch)
+        depth, hit = render.render_depth(
+            lyr, origins, dirs, 8.0, dense_grid_dim=16
+        )
+        return jnp.sum(jnp.where(hit, depth, 0.0))
+
+    base = layer.channels["tsdf"]
+    g_p = np.asarray(jax.grad(loss)(base))
+    nz = np.argwhere(np.abs(g_p) > 1e-2)
+    assert len(nz) >= 8
+    f_checked = 0
+    eps = 1e-3
+    for idx in nz[:: max(1, len(nz) // 5)][:5]:
+        idx = tuple(idx)
+        fp = float(loss(base.at[idx].add(eps)))
+        fm = float(loss(base.at[idx].add(-eps)))
+        fd = (fp - fm) / (2 * eps)
+        assert abs(fd - g_p[idx]) < 0.1 * max(1.0, abs(fd)), (
+            idx, fd, g_p[idx]
+        )
+        f_checked += 1
+    assert f_checked >= 3

@@ -88,6 +88,16 @@ def surface_distance_along_rays(
     return t, hit
 
 
+# Payload codes of the packed dense voxel field (march fast path): a
+# cell holds either a real SDF sample (< _UNOBS), the unobserved
+# sentinel, or _SKIP0 + k meaning "no surface within k blocks" (the
+# block-level Chebyshev skip folded into the same array). Real SDF
+# magnitudes are bounded by the truncation/max-distance (metres), far
+# below _UNOBS.
+_UNOBS = np.float32(5e5)
+_SKIP0 = np.float32(1e6)
+
+
 @partial(jax.jit, static_argnames=("max_steps", "with_color", "max_distance",
                                    "dense_grid_dim"))
 def render_depth(
@@ -110,7 +120,12 @@ def render_depth(
     out-of-grid blocks as empty (rays over them report max_distance
     misses). Callers with concrete layers should size it with
     ``fit_dense_grid_dim`` (``render_depth_image`` does so
-    automatically).
+    automatically). Maps fitting a <= 32-block grid march through a
+    PACKED dense voxel field — one payload gather per step (SDF,
+    unobserved sentinel and block-skip code share the array) instead of
+    the two dependent gathers (block grid, then field) of the general
+    path; the march is gather-latency-bound, so this halves its serial
+    chain.
     """
     vs = layer.voxel_size
     bs = layer.block_size
@@ -147,7 +162,8 @@ def render_depth(
     )
     max_blk = jnp.where(jnp.any(active), max_blk, 0)
     rel = layer.block_ijk - origin_blk
-    inside = jnp.all((rel >= 0) & (rel < dim), axis=-1) & surface_block
+    ing = jnp.all((rel >= 0) & (rel < dim), axis=-1)
+    inside = ing & surface_block
     addr = (rel[:, 0] * dim + rel[:, 1]) * dim + rel[:, 2]
     dense = jnp.full((dim * dim * dim,), -1, jnp.int32).at[
         jnp.where(inside, addr, dim * dim * dim)
@@ -185,6 +201,34 @@ def render_depth(
     ).reshape(-1)
 
     v = layer.vps
+    vpb = layer.voxels_per_block
+    # Packed dense voxel field (maps up to 32^3 blocks; 32^3 * 4096 f32
+    # = 537 MB): every dense cell holds its block's skip code
+    # (_SKIP0 + max(cheb-1, 0)); rows of active blocks within one block
+    # of a surface (cheb <= 1 — the only blocks the refinement can ever
+    # sample: the march stops within a voxel of a surface-block zero
+    # crossing and pulls clamp to +-2 voxels) overwrite with real
+    # SDF / _UNOBS payloads via one contiguous row scatter. The march
+    # then needs ONE gather per step, with no serial dependence between
+    # a block lookup and a field read.
+    packed = dim <= 32
+    if packed:
+        nbk = dim * dim * dim
+        skipv = _SKIP0 + jnp.maximum(
+            cheb.reshape(-1) - 1.0, 0.0
+        )  # [dim^3]
+        chb_row = cheb.reshape(-1)[jnp.where(ing, addr, 0)]
+        write = ing & active & (chb_row <= 1.0)
+        field_rows = jnp.where(
+            layer.channels["weight"] > 1e-6, layer.channels["tsdf"],
+            _UNOBS,
+        )
+        dense_field = jnp.broadcast_to(skipv[:, None], (nbk, vpb))
+        dense_field = dense_field.at[
+            jnp.where(write, addr, nbk)
+        ].set(field_rows, mode="drop", unique_indices=True).reshape(-1)
+    else:
+        dense_field = None
     inv_dirs = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
 
     # Clip rays to the active-map bounding box: start at its entry and
@@ -200,6 +244,38 @@ def render_depth(
     t_stop_at = jnp.minimum(t_leave + 0.5 * vs, max_distance)
 
     def make_step(o, d, inv_d, stop_at):
+        def step_packed(state):
+            t, done, it = state
+            x = o + t[:, None] * d
+            gvi = grid.point_to_grid_index(x, 1.0 / vs)
+            block, local = grid.split_global(gvi, v)
+            relb = block - origin_blk
+            inb = jnp.all((relb >= 0) & (relb < dim), axis=-1)
+            lin = grid.local_to_linear(local, v)
+            a = (
+                (relb[:, 0] * dim + relb[:, 1]) * dim + relb[:, 2]
+            ) * vpb + lin
+            val = dense_field.at[jnp.where(inb, a, 0)].get(
+                mode="fill", fill_value=_SKIP0
+            )
+            val = jnp.where(inb, val, _SKIP0)
+            corner = (block + (d > 0.0).astype(jnp.int32)).astype(
+                jnp.float32
+            ) * bs
+            t_exit = jnp.min((corner - x) * inv_d, axis=-1)
+            real = val < _UNOBS
+            unobs = (val >= _UNOBS) & (val < _SKIP0)
+            skip = (jnp.maximum(t_exit, 0.0)
+                    + jnp.maximum(val - _SKIP0, 0.0) * bs + 0.05 * vs)
+            adv = jnp.where(
+                real, jnp.maximum(val, 0.9 * vs),
+                jnp.where(unobs, vs, jnp.maximum(skip, vs)),
+            )
+            hit_now = val < 0.9 * vs  # only real payloads are this small
+            t = jnp.where(done | hit_now, t, t + adv)
+            done = done | hit_now | (t >= stop_at)
+            return t, done, it + 1
+
         def step(state):
             t, done, it = state
             x = o + t[:, None] * d
@@ -234,12 +310,14 @@ def render_depth(
             done = done | hit_now | (t >= stop_at)
             return t, done, it + 1
 
+        one = step_packed if packed else step
+
         def step8(state):
             # 8 march steps per while iteration: amortizes the loop's
             # all-done reduction and per-iteration overhead (measured ~2x
             # on a v5e vs one step per iteration).
             for _ in range(8):
-                state = step(state)
+                state = one(state)
             return state
 
         return step8
@@ -309,11 +387,10 @@ def render_depth(
     # refinement below samples 9 times, so this dominated the render).
     # ``field`` is built by a where() from the tsdf channel, so values
     # gathered from it remain differentiable w.r.t. the map.
-    dense_all = jnp.full((dim * dim * dim,), -1, jnp.int32).at[
-        jnp.where(
-            jnp.all((rel >= 0) & (rel < dim), axis=-1) & active,
-            addr, dim * dim * dim,
-        )
+    dense_all = None if packed else jnp.full(
+        (dim * dim * dim,), -1, jnp.int32
+    ).at[
+        jnp.where(ing & active, addr, dim * dim * dim)
     ].set(
         jnp.arange(layer.max_blocks, dtype=jnp.int32), mode="drop",
         unique_indices=True,
@@ -329,11 +406,18 @@ def render_depth(
         relc = block - origin_blk
         inb = jnp.all((relc >= 0) & (relc < dim), axis=-1)
         a = (relc[..., 0] * dim + relc[..., 1]) * dim + relc[..., 2]
+        lin = grid.local_to_linear(local, v)
+        if packed:
+            vals = dense_field.at[
+                jnp.where(inb, a * vpb + lin, 0)
+            ].get(mode="fill", fill_value=_SKIP0)
+            vals = jnp.where(inb, vals, _SKIP0)
+            valid = jnp.all(vals < _UNOBS, axis=-1)
+            return jnp.where(vals < _UNOBS, vals, 0.0), frac, valid
         slot = dense_all.at[jnp.where(inb, a, 0)].get(
             mode="fill", fill_value=-1
         )
         slot = jnp.where(inb, slot, -1)
-        lin = grid.local_to_linear(local, v)
         flat = jnp.where(slot >= 0, slot * layer.voxels_per_block + lin, -1)
         vals = field.at[flat].get(mode="fill", fill_value=jnp.inf)
         valid = jnp.all(jnp.isfinite(vals), axis=-1)
@@ -375,17 +459,23 @@ def render_depth(
         return val, gvec, valid
 
     def nearest_value(x):
-        """March-field value of the containing voxel (2 small gathers)."""
+        """March-field value of the containing voxel."""
         gvi = grid.point_to_grid_index(x, 1.0 / vs)
         block, local = grid.split_global(gvi, v)
         relv = block - origin_blk
         inb = jnp.all((relv >= 0) & (relv < dim), axis=-1)
         a = (relv[:, 0] * dim + relv[:, 1]) * dim + relv[:, 2]
+        lin = grid.local_to_linear(local, v)
+        if packed:
+            s = dense_field.at[
+                jnp.where(inb, a * vpb + lin, 0)
+            ].get(mode="fill", fill_value=_SKIP0)
+            s = jnp.where(inb, s, _SKIP0)
+            return jnp.where(s < _UNOBS, s, 0.0), s < _UNOBS
         slot = dense_all.at[jnp.where(inb, a, 0)].get(
             mode="fill", fill_value=-1
         )
         slot = jnp.where(inb, slot, -1)
-        lin = grid.local_to_linear(local, v)
         flat = jnp.where(slot >= 0, slot * layer.voxels_per_block + lin, -1)
         s = field.at[flat].get(mode="fill", fill_value=jnp.inf)
         return s, jnp.isfinite(s)
@@ -437,19 +527,19 @@ def fit_dense_grid_dim(layer, dense_grid_dim: int = 64) -> int:
 
     The grid is anchored at the min active block; active blocks at
     relative coordinate >= dense_grid_dim would silently be treated as
-    empty. This host-side helper (one device->host readback) returns
-    max(dense_grid_dim, active bbox extent rounded up to a multiple of
-    16) so the whole map fits; the multiple-of-16 rounding bounds jit
-    recompiles as the map grows.
+    empty. This host-side helper (one device->host readback) returns the
+    active bbox extent rounded up to a multiple of 16 (minimum 16) —
+    the rounding bounds jit recompiles as the map grows, and maps
+    fitting <= 32 blocks/axis get render_depth's packed single-gather
+    march. ``dense_grid_dim`` caps nothing; it is kept for signature
+    compatibility.
     """
     active = np.asarray(layer.active_mask())
     if not active.any():
-        return dense_grid_dim
+        return 16
     ijk = np.asarray(layer.block_ijk)[active]
     extent = int((ijk.max(axis=0) - ijk.min(axis=0)).max()) + 1
-    if extent <= dense_grid_dim:
-        return dense_grid_dim
-    return ((extent + 15) // 16) * 16
+    return max(16, ((extent + 15) // 16) * 16)
 
 
 def render_depth_image(layer, T_G_C, intrinsics, resolution, max_distance,
