@@ -156,27 +156,7 @@ def weld_vertices(vertices, normals, colors, tol: float = 1e-6):
 # ---------------------------------------------------------------------------
 
 
-def _cumsum_lanes(x_i32, chunk: int = 128):
-    """Inclusive cumsum of small non-negative int32 along axis 1 via MXU
-    triangular matmuls. XLA lowers a 4096-lane jnp.cumsum to a two-level
-    scalar-unit custom fusion (~2 ms per 262k elements on the mesh
-    trace); as two matmuls against upper-triangular ones-matrices the
-    same scan is ~free on the MXU (f32 is exact for sums < 2^24)."""
-    b, n = x_i32.shape
-    assert n % chunk == 0
-    x = x_i32.astype(jnp.float32).reshape(b * (n // chunk), chunk)
-    tri = jnp.asarray(
-        np.triu(np.ones((chunk, chunk), np.float32))
-    )  # tri[j, i] = 1 for j <= i
-    within = jnp.dot(x, tri, precision=jax.lax.Precision.HIGHEST)
-    nch = n // chunk
-    chunk_tot = within[:, -1].reshape(b, nch)
-    # Exclusive chunk offsets: off[i] = sum_{j < i} tot[j].
-    chunk_off = jnp.dot(chunk_tot, jnp.asarray(
-        np.triu(np.ones((nch, nch), np.float32), k=1)
-    ), precision=jax.lax.Precision.HIGHEST)
-    out = within.reshape(b, nch, chunk) + chunk_off[:, :, None]
-    return out.reshape(b, n).astype(jnp.int32)
+from .compaction import cumsum_lanes as _cumsum_lanes  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("min_weight", "use_color"))

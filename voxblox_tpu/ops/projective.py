@@ -65,6 +65,7 @@ import numpy as np
 from ..core import grid
 from ..core import layer as vlayer
 from ..core.config import TsdfIntegratorConfig
+from .compaction import compact_ids
 
 
 class RangeImage(NamedTuple):
@@ -790,7 +791,7 @@ def _discover_and_allocate(layer, img, R, t, cfg, hiz,
     cand, ok = _candidate_blocks(layer, img, R, t, cfg, hiz=hiz)
     n_cand = cand.shape[0]
     max_cand = min(2 * max_visible_blocks, n_cand)
-    cidx = jnp.nonzero(ok, size=max_cand, fill_value=n_cand)[0]
+    cidx = compact_ids(ok, max_cand, fill=n_cand)
     c_ok = cidx < n_cand
     cand = cand[jnp.where(c_ok, cidx, 0)]
     budget_ovf = jnp.sum(ok) > max_cand
@@ -847,11 +848,7 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
     # (2x-sized) candidate set did not overflow — flag it, or rows
     # beyond the budget would be dropped silently.
     budget_ovf |= jnp.sum(vis_mask) > max_visible_blocks
-    rows = jnp.nonzero(
-        vis_mask,
-        size=max_visible_blocks,
-        fill_value=-1,
-    )[0]
+    rows = compact_ids(vis_mask, max_visible_blocks, fill=-1)
     row_ok = rows >= 0
     safe_rows = jnp.where(row_ok, rows, 0)
 
@@ -937,8 +934,7 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
         free_flat = free_s.reshape(-1)
         if max_free_slabs is None:
             max_free_slabs = n_all
-        free_ids = jnp.nonzero(free_flat, size=max_free_slabs,
-                               fill_value=n_all)[0]
+        free_ids = compact_ids(free_flat, max_free_slabs, fill=n_all)
         free_ok = free_ids < n_all
         budget_ovf |= jnp.sum(free_flat) > max_free_slabs
         _, _, _, _, _, _, inb_f = slab_voxel_proj(free_ids, free_ok)
@@ -961,9 +957,7 @@ def _scan_terms(layer, R, t, img: RangeImage, cfg, use_color: bool,
 
     # ---- MIXED slabs: compact, gather, update ----
     mixed_flat = mixed_s.reshape(-1)
-    slab_ids = jnp.nonzero(
-        mixed_flat, size=max_mixed_slabs, fill_value=n_all
-    )[0]
+    slab_ids = compact_ids(mixed_flat, max_mixed_slabs, fill=n_all)
     slab_valid = slab_ids < n_all
     budget_ovf |= jnp.sum(mixed_flat) > max_mixed_slabs
 
@@ -1128,12 +1122,22 @@ def _integrate_image_jit(layer, R, t, rng_img, color_img, params,
         d_cw = _delta_plane(d6, 2, slab_vox).reshape(B, vpb)
         denom_c = jnp.maximum(old_w + d_cw, grid.FLOAT_EPS)
         ctouched = (d_cw > 0) & apply_ok
-        out_c = old_cf
-        for c in range(3):
-            oc = old_cf[:, c::3]
-            d_wc = _delta_plane(d6, 3 + c, slab_vox).reshape(B, vpb)
-            nc = (oc * old_w + d_wc) / denom_c
-            out_c = out_c.at[:, c::3].set(jnp.where(ctouched, nc, oc))
+        # Per-plane color fold, re-interleaved by stack+reshape: a
+        # strided .at[:, c::3].set scatter needs whole [B, 3*vpb] rows
+        # in VMEM and blows the 16 MB scoped-vmem limit once the grown
+        # visible budget reaches thousands of rows (same failure mode
+        # _fold_batch_acc documents at pool scale).
+        planes = [
+            jnp.where(
+                ctouched,
+                (old_cf[:, c::3] * old_w
+                 + _delta_plane(d6, 3 + c, slab_vox).reshape(B, vpb))
+                / denom_c,
+                old_cf[:, c::3],
+            )
+            for c in range(3)
+        ]
+        out_c = jnp.stack(planes, axis=-1).reshape(B, vpb * 3)
         ch["color"] = ch["color"].reshape(mb, vpb * 3).at[write_rows].set(
             out_c, mode="drop", unique_indices=True
         ).reshape(ch["color"].shape)

@@ -216,39 +216,50 @@ class TsdfServer:
         )
 
     def _grow_projective_budgets(self) -> bool:
-        """Advance every bounded projective budget one ladder rung
-        (double; slab budgets jump to None = safe unbounded once they
-        cover every slab of the visible set). Each rung is a new static
-        config -> one recompile, paid once and kept. Returns False when
-        everything is already at its safe maximum."""
+        """Advance the projective budgets one ladder rung, SLAB budgets
+        first (double; they jump to None = safe unbounded once they
+        cover every slab of the visible set) and the visible-row budget
+        only once the slab budgets are exhausted — slab overflow is by
+        far the common case, and inflating the row budget multiplies
+        the whole per-scan chain. Each rung is a new static config ->
+        one recompile, paid once and kept. Returns False when everything
+        is already at its safe maximum."""
         from ..ops.projective import _slab_shape
 
         b = self.projective_budgets
         n_slabs = _slab_shape(self.layer.vps)[2]
         changed = False
-        mvb = b["max_visible_blocks"]
-        if mvb < self.layer.max_blocks:
-            b["max_visible_blocks"] = min(2 * mvb, self.layer.max_blocks)
-            changed = True
         for key in ("max_mixed_slabs", "max_free_slabs"):
             v = b[key]
             if v is not None:
                 cap = b["max_visible_blocks"] * n_slabs
                 b[key] = None if 2 * v >= cap else 2 * v
                 changed = True
+        if not changed:
+            mvb = b["max_visible_blocks"]
+            if mvb < self.layer.max_blocks:
+                b["max_visible_blocks"] = min(
+                    2 * mvb, self.layer.max_blocks
+                )
+                changed = True
         return changed
 
     def _replay_scan(self, T_G_C, points_C, colors, fused: bool):
-        """Re-dispatch one budget-overflowed scan at grown budget rungs
-        until it applies (its original dispatch applied nothing)."""
+        """Re-dispatch one budget-overflowed scan until it applies (its
+        original dispatch applied nothing), growing the budget ladder on
+        each fresh overflow. The first attempt runs at the CURRENT
+        budgets — the recorded flag may date from an older rung that an
+        earlier scan's replay already grew past."""
         from ..ops import projective as projective_ops
 
+        first = True
         while True:
-            if not self._grow_projective_budgets():
+            if not first and not self._grow_projective_budgets():
                 raise MemoryError(
                     "projective scan overflows even at the maximum "
                     "budgets; increase MapConfig.max_blocks"
                 )
+            first = False
             if fused:
                 iters = self._fused_step(T_G_C, points_C, colors,
                                          record=False)
