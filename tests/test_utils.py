@@ -73,3 +73,25 @@ def test_lie_compose_inverse(rng):
     # Identity edge case.
     R, t = lie.se3_exp(jnp.zeros(6))
     np.testing.assert_allclose(np.asarray(R), np.eye(3), atol=1e-6)
+
+
+def test_compact_ids_matches_nonzero():
+    """ops/compaction.compact_ids must reproduce
+    jnp.nonzero(mask, size=k, fill_value=f)[0] exactly (ascending ids,
+    fill tail, silent drop past k) — it replaces the scalar-unit custom
+    lowering in every hot compaction."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from voxblox_tpu.ops.compaction import compact_ids
+
+    rng = np.random.RandomState(5)
+    for n, k, dens in [(1000, 64, 0.03), (1000, 64, 0.5), (4096, 128, 0.0),
+                       (94208, 512, 0.01), (131, 16, 1.0), (128, 200, 0.2)]:
+        mask = jnp.asarray(rng.uniform(size=n) < dens)
+        for fill in (n, -1):
+            want = np.asarray(
+                jnp.nonzero(mask, size=k, fill_value=fill)[0]
+            )
+            got = np.asarray(compact_ids(mask, k, fill=fill))
+            np.testing.assert_array_equal(got, want, err_msg=str((n, k, dens, fill)))
