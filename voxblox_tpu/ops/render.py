@@ -99,7 +99,8 @@ _SKIP0 = np.float32(1e6)
 
 
 @partial(jax.jit, static_argnames=("max_steps", "with_color", "max_distance",
-                                   "dense_grid_dim"))
+                                   "dense_grid_dim", "nearest_pulls",
+                                   "trilinear_pulls"))
 def render_depth(
     layer: vlayer.VoxelLayer,
     origins,
@@ -108,6 +109,8 @@ def render_depth(
     max_steps: int = 0,
     with_color: bool = False,
     dense_grid_dim: int = 64,
+    nearest_pulls: int = 4,
+    trilinear_pulls: int = 1,
 ):
     """Differentiable depth (and color) along rays.
 
@@ -428,8 +431,7 @@ def render_depth(
         w8 = interp._trilinear_weights(frac)
         return jnp.sum(w8 * vals, axis=-1), valid
 
-    def fast_value_grad(x):
-        vals, frac, valid = corner_vals(x)
+    def _tri_val_grad(vals, frac):
         w8 = interp._trilinear_weights(frac)
         val = jnp.sum(w8 * vals, axis=-1)
         fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
@@ -456,6 +458,11 @@ def render_depth(
         gz = axis_grad(gxw, fx, gyw, fy,
                        lambda cx, cy: (4 + cx + 2 * cy, cx + 2 * cy))
         gvec = jnp.stack([gx, gy, gz], axis=-1) / vs
+        return val, gvec
+
+    def fast_value_grad(x):
+        vals, frac, valid = corner_vals(x)
+        val, gvec = _tri_val_grad(vals, frac)
         return val, gvec, valid
 
     def nearest_value(x):
@@ -487,15 +494,19 @@ def render_depth(
     # of the trilinear pass's 2x8R corner gathers (each 8-corner pass
     # measured 7.4 ms per 65k rays: the corner gathers, not the march,
     # dominate the renderer) — converging t to voxel-center accuracy;
-    # two trilinear pulls then settle the sub-voxel remainder.
+    # ONE trilinear pull then settles into the final interpolation cell
+    # before the Newton pass (a second pull measured +17% wall for the
+    # same GT accuracy — p95 11.8 vs 10.6 mm at 5 cm voxels — and
+    # replacing the pull with in-cell frac-tracking from stale corners
+    # doubled the tail error; pass counts are tunable per call).
     t_stop = jax.lax.stop_gradient(t_raw)
-    for _ in range(3):
+    for _ in range(nearest_pulls):
         x_r = origins + t_stop[:, None] * dirs
         s_r, v_r = nearest_value(x_r)
         t_stop = jax.lax.stop_gradient(
             jnp.where(v_r, t_stop + jnp.clip(s_r, -2 * vs, 2 * vs), t_stop)
         )
-    for _ in range(2):
+    for _ in range(trilinear_pulls):
         x_r = origins + t_stop[:, None] * dirs
         s_r, v_r = fast_value(x_r)
         t_stop = jax.lax.stop_gradient(
