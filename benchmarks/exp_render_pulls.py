@@ -72,11 +72,11 @@ dim = render_ops.fit_dense_grid_dim(layer)
 print(f"grid dim {dim}; gt hit rate {gt_hit.mean():.3f}")
 
 
-def run(np_, tp_):
+def run(np_, tp_, p1=10):
     def call(eps):
         return render_ops.render_depth(
             layer, origins + eps, dirs, 8.0, dense_grid_dim=dim,
-            nearest_pulls=np_, trilinear_pulls=tp_)
+            nearest_pulls=np_, trilinear_pulls=tp_, phase1_iters=p1)
     depth, hit = call(np.float32(0.0))
     jax.block_until_ready(depth)
     times = []
@@ -91,17 +91,17 @@ def run(np_, tp_):
     hit_n = np.asarray(call(np.float32(0.0))[1])
     both = hit_n & gt_hit & (gt_t < 7.5)
     err = np.abs(dep - gt_t)[both]
-    print(f"({np_},{tp_}): {ms:.2f} ms = {n_rays/ms*1e3/1e6:.2f} M rays/s"
+    print(f"({np_},{tp_},p1={p1}): {ms:.2f} ms = {n_rays/ms*1e3/1e6:.2f} M rays/s"
           f" | vs GT: med {np.median(err)*1e3:.1f} mm, p95 "
           f"{np.percentile(err, 95)*1e3:.1f} mm, hits {both.sum()}")
     return dep, hit_n
 
 
-base_dep, base_hit = run(3, 2)
-for np_, tp_ in [(3, 1), (4, 1), (4, 0), (5, 0)]:
-    dep, hit = run(np_, tp_)
+base_dep, base_hit = run(4, 1)
+for np_, tp_, p1 in [(4, 1, 6), (4, 1, 4), (4, 1, 3), (4, 1, 2)]:
+    dep, hit = run(np_, tp_, p1)
     b = base_hit & hit
     dd = np.abs(dep - base_dep)[b]
-    print(f"    vs (3,2): med {np.median(dd)*1e3:.2f} mm, p99 "
+    print(f"    vs base: med {np.median(dd)*1e3:.2f} mm, p99 "
           f"{np.percentile(dd, 99)*1e3:.1f} mm, hit match "
           f"{(hit == base_hit).mean():.4f}")

@@ -100,7 +100,7 @@ _SKIP0 = np.float32(1e6)
 
 @partial(jax.jit, static_argnames=("max_steps", "with_color", "max_distance",
                                    "dense_grid_dim", "nearest_pulls",
-                                   "trilinear_pulls"))
+                                   "trilinear_pulls", "phase1_iters"))
 def render_depth(
     layer: vlayer.VoxelLayer,
     origins,
@@ -111,6 +111,7 @@ def render_depth(
     dense_grid_dim: int = 64,
     nearest_pulls: int = 4,
     trilinear_pulls: int = 1,
+    phase1_iters: int = 10,
 ):
     """Differentiable depth (and color) along rays.
 
@@ -335,7 +336,7 @@ def render_depth(
     # at full width.
     n = dirs.shape[0]
     step8_full = make_step(origins, dirs, inv_dirs, t_stop_at)
-    phase1_iters = min(10, max_steps)
+    phase1_iters = min(phase1_iters, max_steps)
     t0 = jnp.maximum(jnp.where(miss, t_stop_at, t_enter), 0.0)
     t1, done1, _ = jax.lax.while_loop(
         lambda st: (~jnp.all(st[1])) & (st[2] < phase1_iters * 8),
