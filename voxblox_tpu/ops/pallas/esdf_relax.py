@@ -174,18 +174,31 @@ def _relax_kernel(strides: tuple, voxel_size: float, max_distance: float,
             }
             for dist_vox, offs in sorted(by_step.items()):
                 step = np.float32(dist_vox * voxel_size * k)
-                # Sign-flip thresholds (esdf_integrator.cc:458-496): an
-                # opposite-sign neighbor whose projected value disagrees
-                # by > step caps |d| at step. Sign structure kills half
-                # the reference's |.| test: a valid negative-side
-                # neighbor can never EXCEED a positive center (and
-                # mirrored), so only the one-sided comparisons remain:
-                #   pos center: ndn < d - 2*step
-                #   neg center: ndp > d + 2*step
+                # Per-GROUP aggregates instead of per-offset updates:
+                # step is constant within a group, so the +-step adds
+                # hoist out of the offset loop (min(a+s, b+s) ==
+                # min(a,b)+s exactly — f32 addition is monotone), and
+                # the sign-flip trip test reduces to two threshold
+                # compares on validity-masked extrema per group instead
+                # of ~10 ops per offset (measured ~15% kernel time).
+                gp = jnp.full_like(d, BIG)
+                gn = jnp.full_like(d, -BIG)
                 if flips:
-                    lo = d - 2 * step
-                    hi = d + 2 * step
-                trip = None
+                    # Sign-flip thresholds (esdf_integrator.cc:458-496):
+                    # an opposite-sign neighbor whose projected value
+                    # disagrees by > step caps |d| at step. Sign
+                    # structure kills half the reference's |.| test: a
+                    # valid negative-side neighbor can never EXCEED a
+                    # positive center (and mirrored), so only the
+                    # one-sided comparisons remain:
+                    #   pos center: exists valid ndn < d - 2*step
+                    #   neg center: exists valid ndp > d + 2*step
+                    # The +-BIG invalid sentinels would satisfy those
+                    # tests, so the trip extrema re-mask them to the
+                    # LOSING side (gp/gn need no mask: their sentinels
+                    # already lose the min/max).
+                    tvn = jnp.full_like(d, BIG)
+                    tvp = jnp.full_like(d, -BIG)
                 for (dx, dy, dz) in offs:
                     ndp, ndn = zrolled[dz]
                     ls = (-(dx + P * dy) * k) % LANE_PAD
@@ -215,16 +228,21 @@ def _relax_kernel(strides: tuple, voxel_size: float, max_distance: float,
                             m & gate_neg & (ndn - step > -max_distance),
                             ndn, -BIG,
                         )
-                    best_pos = jnp.minimum(best_pos, ndp + step)
-                    best_neg = jnp.maximum(best_neg, ndn - step)
+                    gp = jnp.minimum(gp, ndp)
+                    gn = jnp.maximum(gn, ndn)
                     if flips:
-                        # (invalid sentinels +-BIG would satisfy the
-                        # one-sided tests, so the validity guard stays.)
-                        t = ((ndn > -BIG / 2) & (ndn < lo) & pos) | (
-                            (ndp < BIG / 2) & (ndp > hi) & ~pos
+                        tvn = jnp.minimum(
+                            tvn, jnp.where(ndn > -BIG / 2, ndn, BIG)
                         )
-                        trip = t if trip is None else (trip | t)
+                        tvp = jnp.maximum(
+                            tvp, jnp.where(ndp < BIG / 2, ndp, -BIG)
+                        )
+                best_pos = jnp.minimum(best_pos, gp + step)
+                best_neg = jnp.maximum(best_neg, gn - step)
                 if flips:
+                    trip = ((tvn < d - 2 * step) & pos) | (
+                        (tvp > d + 2 * step) & ~pos
+                    )
                     trips.append((step, trip))
             cand = jnp.where(
                 pos, jnp.minimum(d, best_pos), jnp.maximum(d, best_neg)
