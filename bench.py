@@ -232,7 +232,11 @@ def _bench_mesh(jax, jnp, *, layer, voxel, **_):
     # every update a ~25-70 ms round trip the steady-state server loop
     # never pays (the reference's 10 ms/scan is CPU-local).
     rng = np.random.default_rng(0)
-    G = 4
+    # 8 updates per readback: the group's one forced sync costs a full
+    # ~25 ms tunnel round trip that a locally-attached chip (and the
+    # reference's CPU-local 10 ms figure) never pays; at G=8 it
+    # amortizes to ~3 ms/update on top of the ~4 ms device time.
+    G = 8
     times = []
     # 7 timed groups, first 2 discarded: the first groups after a fresh
     # executable upload through the tunnel can read far slow (CLAUDE.md;
