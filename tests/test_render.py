@@ -57,6 +57,35 @@ def test_fit_dense_grid_dim():
     assert d >= extent
 
 
+def test_refinement_pull_schedule_consistency():
+    """The tunable refinement pass counts (nearest_pulls,
+    trilinear_pulls) must agree with the defaults to sub-voxel depth on
+    hit rays: the settling pulls pick the Newton linearization point,
+    not the surface itself (the TPU default (4,1) was chosen against
+    analytic GT — see render_depth's refinement comment)."""
+    objs, layer = _sphere_layer()
+    n = 256
+    rng = np.random.RandomState(5)
+    d = np.array([[1.0, 0.0, 0.0]] * n, np.float32) + rng.uniform(
+        -0.15, 0.15, (n, 3)
+    ).astype(np.float32)
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    origins = jnp.broadcast_to(
+        jnp.asarray([-3.0, 0.0, 0.0], jnp.float32), dirs.shape
+    )
+    dep0, hit0 = render.render_depth(layer, origins, dirs, 8.0)
+    for np_, tp_ in [(3, 2), (5, 1)]:
+        dep, hit = render.render_depth(
+            layer, origins, dirs, 8.0, nearest_pulls=np_,
+            trilinear_pulls=tp_,
+        )
+        both = np.asarray(hit0) & np.asarray(hit)
+        assert both.mean() > 0.95
+        diff = np.abs(np.asarray(dep) - np.asarray(dep0))[both]
+        assert np.median(diff) < 0.1 * layer.voxel_size, (np_, tp_)
+        assert (diff < 0.5 * layer.voxel_size).mean() > 0.98, (np_, tp_)
+
+
 def test_render_depth_accuracy():
     objs, layer = _sphere_layer()
     n = 32
